@@ -1,0 +1,44 @@
+#!/bin/bash
+# Build the reference test oracles into /tmp/gnn_mwvc_oracle (never into the
+# repo or the read-only reference mount).  Oracles:
+#   GNN_VC           — the unmodified reference solver binary (differential runs)
+#   dump_activations — our harness over the reference inference code
+# Requires only g++; OpenBLAS is replaced by tests/oracle/cblas.h.
+set -e
+REF=${REF:-/root/reference}
+OUT=${OUT:-/tmp/gnn_mwvc_oracle}
+HERE="$(cd "$(dirname "$0")" && pwd)"
+mkdir -p "$OUT"
+
+# -include tuple: reference headers use std::tuple without including <tuple>
+# (compiles under older libstdc++); force-include instead of patching the
+# read-only reference.
+CXXFLAGS="-std=c++17 -O2 -march=native -DNDEBUG -include tuple -I$HERE -I$REF/include"
+
+if [ ! -x "$OUT/GNN_VC" ] || [ "$1" = "-f" ]; then
+  g++ $CXXFLAGS -o "$OUT/GNN_VC" \
+    "$REF/src/GNN_VC.cpp" "$REF/src/matrix.cpp" "$REF/src/gnn_inference.cpp"
+fi
+
+if [ ! -x "$OUT/dump_activations" ] || [ "$1" = "-f" ]; then
+  g++ $CXXFLAGS -o "$OUT/dump_activations" \
+    "$HERE/dump_activations.cpp" "$REF/src/matrix.cpp" "$REF/src/gnn_inference.cpp"
+fi
+
+# bench_predict: link a real OpenBLAS if one is findable (opencv bundles one)
+# so the reference CPU baseline is fair; otherwise use the naive shim.
+OBLAS=$(ls /opt/venv/lib/python3.12/site-packages/opencv_python.libs/libopenblas*.so 2>/dev/null | head -1)
+if [ ! -x "$OUT/bench_predict" ] || [ "$1" = "-f" ]; then
+  if [ -n "$OBLAS" ]; then
+    g++ -std=c++17 -O3 -march=native -DNDEBUG -include tuple \
+      -I"$HERE/cblas_real" -I"$REF/include" \
+      -o "$OUT/bench_predict" "$HERE/bench_predict.cpp" \
+      "$REF/src/matrix.cpp" "$REF/src/gnn_inference.cpp" \
+      "$OBLAS" -Wl,-rpath,"$(dirname "$OBLAS")"
+  else
+    g++ $CXXFLAGS -o "$OUT/bench_predict" "$HERE/bench_predict.cpp" \
+      "$REF/src/matrix.cpp" "$REF/src/gnn_inference.cpp"
+  fi
+fi
+
+echo "$OUT"

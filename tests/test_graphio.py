@@ -1,0 +1,101 @@
+import io
+
+import numpy as np
+import pytest
+
+from gnn_mwvc_tpu.graph import Graph, DeviceGraph, bucket_size
+from gnn_mwvc_tpu.graphio import (
+    read_metis,
+    write_metis,
+    read_edge_graph,
+    write_edge_graph,
+    gen_weights,
+    is_vertex_cover,
+    cover_cost,
+    is_independent_set,
+    independent_set_to_cover,
+)
+
+
+def test_ex3_parse(ex3_graph):
+    g = ex3_graph
+    assert g.n == 3 and g.m == 2
+    assert list(g.weights) == [15, 15, 20]
+    assert list(g.degrees) == [1, 1, 2]
+    assert list(g.neighborhood_weights) == [20, 20, 30]
+    assert list(g.neighbors(2)) == [0, 1]
+
+
+def test_metis_roundtrip(rnd_graph):
+    g = rnd_graph(200, 8, seed=3)
+    buf = io.StringIO()
+    write_metis(buf, g)
+    g2 = read_metis(io.BytesIO(buf.getvalue().encode()))
+    assert g2.n == g.n and g2.m == g.m
+    assert np.array_equal(g2.weights, g.weights)
+    assert np.array_equal(g2.indices, g.indices)
+    assert np.array_equal(g2.indptr, g.indptr)
+
+
+def test_metis_dedup_and_selfloop():
+    # duplicate edge 1-2 listed twice + self loop on 3
+    data = b"3 3 10\n5 2 2\n6 1 3\n7 2 3\n"
+    g = read_metis(io.BytesIO(data))
+    assert g.m == 2  # (0,1) and (1,2); self-loop (2,2) dropped
+    assert list(g.neighbors(1)) == [0, 2]
+
+
+def test_edge_graph_roundtrip(rnd_graph):
+    g = rnd_graph(100, 6, seed=4)
+    buf = io.StringIO()
+    write_edge_graph(buf, g)
+    g2 = read_edge_graph(io.BytesIO(buf.getvalue().encode()))
+    assert g2.n == g.n and g2.m == g.m
+    assert np.array_equal(g2.weights, g.weights)
+    assert np.array_equal(g2.indices, g.indices)
+
+
+def test_gen_weights_dedup():
+    edges = np.array([[1, 2], [2, 1], [1, 1], [2, 3]])
+    g = gen_weights(3, edges, 20, 120, seed=7)
+    assert g.m == 2
+    assert g.weights.min() >= 20 and g.weights.max() <= 120
+
+
+def test_validate(ex3_graph):
+    g = ex3_graph
+    assert is_vertex_cover(g, [0, 0, 1])
+    assert cover_cost(g, [0, 0, 1]) == 20
+    assert not is_vertex_cover(g, [1, 0, 0])
+    assert is_vertex_cover(g, [1, 1, 0])
+    assert cover_cost(g, [1, 1, 0]) == 30
+
+
+def test_is_vc_conversion(ex3_graph):
+    g = ex3_graph
+    s = np.array([1, 1, 0])  # independent set {0,1}
+    assert is_independent_set(g, s)
+    vc = independent_set_to_cover(g, s)
+    assert is_vertex_cover(g, vc) and cover_cost(g, vc) == 20
+    with pytest.raises(ValueError):
+        independent_set_to_cover(g, np.array([1, 0, 1]))
+
+
+def test_bucketing():
+    assert bucket_size(1) == 128
+    assert bucket_size(128) == 128
+    assert bucket_size(129) > 129
+    b = bucket_size(10_000)
+    assert b >= 10_000 and b % 128 == 0
+
+
+def test_device_graph_padding(rnd_graph):
+    g = rnd_graph(300, 10, seed=5)
+    dg = DeviceGraph.from_graph(g)
+    assert dg.n_pad > dg.n and dg.n_pad % 128 == 0
+    assert dg.node_mask.sum() == g.n
+    assert dg.edge_mask.sum() == dg.e == 2 * g.m
+    # padded edges scatter only into the sink row
+    assert (dg.row[dg.e :] == dg.n_pad - 1).all()
+    np.testing.assert_array_equal(dg.degrees[: g.n], g.degrees)
+    np.testing.assert_array_equal(dg.nw[: g.n], g.neighborhood_weights)

@@ -1,0 +1,78 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh.
+
+The acceptance bar from SURVEY.md §4(d): sharded (edge-partitioned) message
+passing must match single-chip results to float tolerance.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from gnn_mwvc_tpu.graph import DeviceGraph
+from gnn_mwvc_tpu.models import load_pretrained
+from gnn_mwvc_tpu.models.gnn import score_graph
+from gnn_mwvc_tpu.parallel import (
+    make_mesh,
+    partition_device_graph,
+    make_sharded_forward,
+    make_sharded_train_step,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(8)
+
+
+def test_sharded_forward_matches_single(mesh8, rnd_graph):
+    g = rnd_graph(700, 10, seed=21)
+    dg = DeviceGraph.from_graph(g)
+    m = load_pretrained()
+    ws = float(g.weights.max())
+
+    single = np.asarray(score_graph(m, dg, ws))[: g.n]
+
+    sg = partition_device_graph(dg, 8)
+    fwd = make_sharded_forward(m.kinds, mesh8)
+    out = np.asarray(fwd(m.params, sg, ws)).reshape(-1)
+    mask = np.asarray(sg.node_mask).reshape(-1)
+    sharded = out[mask][: g.n]
+    np.testing.assert_allclose(sharded, single, atol=1e-5)
+
+
+def test_partition_covers_all_edges(rnd_graph):
+    g = rnd_graph(300, 6, seed=1)
+    dg = DeviceGraph.from_graph(g)
+    sg = partition_device_graph(dg, 4)
+    # total real edges recoverable: count slots whose (shard, row) is a real node
+    rows = np.asarray(sg.row_loc)
+    cols = np.asarray(sg.col)
+    node_mask = np.asarray(dg.node_mask)
+    total = 0
+    for p in range(4):
+        live = rows[p] < sg.n_loc  # padding slots target segment n_loc
+        dst_real = np.zeros_like(live)
+        dst_real[live] = np.asarray(sg.node_mask[p])[rows[p][live]]
+        total += int((live & dst_real & node_mask[cols[p]]).sum())
+    assert total == dg.e
+
+
+def test_sharded_train_step_runs(mesh8, rnd_graph):
+    g = rnd_graph(256, 6, seed=13)
+    dg = DeviceGraph.from_graph(g)
+    m = load_pretrained()
+    ws = float(g.weights.max())
+    sg = partition_device_graph(dg, 8)
+    step, tx = make_sharded_train_step(m.kinds, mesh8)
+    import optax
+
+    opt_state = tx.init(m.params)
+    y = np.zeros((8, sg.n_loc), np.float32)
+    y[np.asarray(sg.node_mask)] = 1.0
+    params, opt_state, loss = step(m.params, opt_state, sg, y, ws)
+    assert np.isfinite(float(loss))
+    params2, _, loss2 = step(params, opt_state, sg, y, ws)
+    assert float(loss2) < float(loss)  # one SGD step reduces full-batch loss
