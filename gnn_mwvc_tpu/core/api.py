@@ -1,0 +1,261 @@
+"""ctypes bindings for the native MWVC host core.
+
+The shared library is built on demand (g++ is a baked-in dependency); the
+source of truth is gnn_mwvc_tpu/core/src/*.hpp + capi.cpp.
+"""
+
+from __future__ import annotations
+
+import ctypes as ct
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(__file__)
+_SRC = os.path.join(_HERE, "src")
+_LIB = os.path.join(_HERE, "libmwvc_core.so")
+_LOCK = threading.Lock()
+_lib = None
+
+u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+
+
+def _build() -> str:
+    srcs = [os.path.join(_SRC, "capi.cpp")]
+    hdrs = [
+        os.path.join(_SRC, h)
+        for h in ("revgraph.hpp", "solver.hpp", "localsearch.hpp")
+    ]
+    if os.path.exists(_LIB):
+        lib_mtime = os.path.getmtime(_LIB)
+        if all(os.path.getmtime(p) <= lib_mtime for p in srcs + hdrs):
+            return _LIB
+    cmd = [
+        "g++", "-std=c++17", "-O3", "-march=native", "-DNDEBUG", "-fPIC",
+        "-shared", "-o", _LIB,
+    ] + srcs
+    subprocess.run(cmd, check=True, capture_output=True, text=True)
+    return _LIB
+
+
+def lib_path() -> str:
+    return _build()
+
+
+def _load():
+    global _lib
+    with _LOCK:
+        if _lib is None:
+            lib = ct.CDLL(_build())
+            c = ct.c_void_p
+            sigs = {
+                "mwvc_create": ([ct.c_uint32, u32p, ct.c_uint64, u32p, u32p], c),
+                "mwvc_destroy": ([c], None),
+                "mwvc_reduce": ([c, ct.c_int], None),
+                "mwvc_n_nodes": ([c], ct.c_uint32),
+                "mwvc_n_org": ([c], ct.c_uint32),
+                "mwvc_active_count": ([c], ct.c_uint32),
+                "mwvc_cost": ([c], ct.c_uint64),
+                "mwvc_timestamp": ([c], ct.c_uint64),
+                "mwvc_label_count": ([c], ct.c_uint64),
+                "mwvc_reset_label_count": ([c], None),
+                "mwvc_counters": ([c, u64p], None),
+                "mwvc_is_active": ([c, ct.c_uint32], ct.c_int),
+                "mwvc_decided": ([c, ct.c_uint32], ct.c_int),
+                "mwvc_select_node": ([c, ct.c_uint32], None),
+                "mwvc_select_neighborhood": ([c, ct.c_uint32], None),
+                "mwvc_snapshot_edges": ([c], ct.c_uint64),
+                "mwvc_snapshot": ([c, u32p, u32p, u64p, u32p, u64p, u32p],
+                                  ct.c_uint32),
+                "mwvc_solve_small_components": ([c, ct.c_uint32], ct.c_uint32),
+                "mwvc_peel": ([c, u32p, f32p, ct.c_uint64, ct.c_int],
+                              ct.c_uint64),
+                "mwvc_unfold": ([c, ct.c_uint64], None),
+                "mwvc_get_solution": ([c, i8p], None),
+                "mwvc_apply_cover": ([c, u32p, u8p, ct.c_uint32], None),
+                "mwvc_ls_create": ([ct.c_uint32, u32p, ct.c_uint32, u32p, u32p,
+                                    u8p], c),
+                "mwvc_ls_destroy": ([c], None),
+                "mwvc_ls_search": ([c, ct.c_uint32, ct.c_double], ct.c_int),
+                "mwvc_ls_cost": ([c], ct.c_uint64),
+                "mwvc_ls_best_cost": ([c], ct.c_uint64),
+                "mwvc_ls_best_seen": ([c], ct.c_uint64),
+                "mwvc_ls_steps": ([c], ct.c_uint64),
+                "mwvc_ls_get_best": ([c, u8p], None),
+            }
+            for name, (argtypes, restype) in sigs.items():
+                fn = getattr(lib, name)
+                fn.argtypes = argtypes
+                fn.restype = restype
+            _lib = lib
+    return _lib
+
+
+class Snapshot:
+    """Compacted active-subgraph CSR (host arrays, ready for DeviceGraph)."""
+
+    __slots__ = ("ids", "weights", "nw", "deg", "indptr", "indices")
+
+    def __init__(self, ids, weights, nw, deg, indptr, indices):
+        self.ids = ids
+        self.weights = weights
+        self.nw = nw
+        self.deg = deg
+        self.indptr = indptr
+        self.indices = indices
+
+    @property
+    def n(self):
+        return len(self.ids)
+
+
+class CoreSolver:
+    """The kernelization engine over one graph instance."""
+
+    def __init__(self, weights, edges):
+        lib = _load()
+        self._lib = lib
+        weights = np.ascontiguousarray(weights, dtype=np.uint32)
+        edges = np.asarray(edges, dtype=np.uint32).reshape(-1, 2)
+        eu = np.ascontiguousarray(edges[:, 0])
+        ev = np.ascontiguousarray(edges[:, 1])
+        self._h = lib.mwvc_create(len(weights), weights, len(edges), eu, ev)
+        self.n_org = int(lib.mwvc_n_org(self._h))
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.mwvc_destroy(self._h)
+            self._h = None
+
+    # -- state ----------------------------------------------------------
+    @property
+    def active_count(self):
+        return int(self._lib.mwvc_active_count(self._h))
+
+    @property
+    def cost(self):
+        return int(self._lib.mwvc_cost(self._h))
+
+    @property
+    def timestamp(self):
+        return int(self._lib.mwvc_timestamp(self._h))
+
+    @property
+    def label_count(self):
+        return int(self._lib.mwvc_label_count(self._h))
+
+    def reset_label_count(self):
+        self._lib.mwvc_reset_label_count(self._h)
+
+    @property
+    def counters(self):
+        out = np.zeros(8, dtype=np.uint64)
+        self._lib.mwvc_counters(self._h, out)
+        return out
+
+    def is_active(self, u):
+        return bool(self._lib.mwvc_is_active(self._h, u))
+
+    def decided(self, u):
+        return int(self._lib.mwvc_decided(self._h, u))
+
+    # -- ops -------------------------------------------------------------
+    def reduce(self, critical=None):
+        if critical is None:
+            critical = self.active_count < 1000
+        self._lib.mwvc_reduce(self._h, int(critical))
+
+    def select_node(self, u):
+        self._lib.mwvc_select_node(self._h, u)
+
+    def select_neighborhood(self, u):
+        self._lib.mwvc_select_neighborhood(self._h, u)
+
+    def snapshot(self) -> Snapshot:
+        n_act = self.active_count
+        e = int(self._lib.mwvc_snapshot_edges(self._h))
+        ids = np.empty(n_act, dtype=np.uint32)
+        wts = np.empty(n_act, dtype=np.uint32)
+        nw = np.empty(n_act, dtype=np.uint64)
+        deg = np.empty(n_act, dtype=np.uint32)
+        indptr = np.empty(n_act + 1, dtype=np.uint64)
+        indices = np.empty(e, dtype=np.uint32)
+        k = self._lib.mwvc_snapshot(self._h, ids, wts, nw, deg, indptr, indices)
+        assert k == n_act
+        if n_act == 0:
+            indptr[0] = 0
+        return Snapshot(ids, wts, nw, deg, indptr, indices)
+
+    def solve_small_components(self, limit=75):
+        return int(self._lib.mwvc_solve_small_components(self._h, limit))
+
+    def peel(self, order, prob, relable_interval=-1):
+        order = np.ascontiguousarray(order, dtype=np.uint32)
+        prob = np.ascontiguousarray(prob, dtype=np.float32)
+        return int(
+            self._lib.mwvc_peel(self._h, order, prob, len(order),
+                                relable_interval)
+        )
+
+    def unfold(self, t=0):
+        self._lib.mwvc_unfold(self._h, t)
+
+    def solution(self):
+        out = np.empty(self.n_org, dtype=np.int8)
+        self._lib.mwvc_get_solution(self._h, out)
+        return out
+
+    def apply_cover(self, ids, vals):
+        ids = np.ascontiguousarray(ids, dtype=np.uint32)
+        vals = np.ascontiguousarray(vals, dtype=np.uint8)
+        self._lib.mwvc_apply_cover(self._h, ids, vals, len(ids))
+
+
+class CoreLocalSearch:
+    """FastWVC-style anytime local search over a flat graph."""
+
+    def __init__(self, weights, edges, initial):
+        lib = _load()
+        self._lib = lib
+        weights = np.ascontiguousarray(weights, dtype=np.uint32)
+        edges = np.asarray(edges, dtype=np.uint32).reshape(-1, 2)
+        eu = np.ascontiguousarray(edges[:, 0])
+        ev = np.ascontiguousarray(edges[:, 1])
+        s0 = np.ascontiguousarray(initial, dtype=np.uint8)
+        self.n = len(weights)
+        self._h = lib.mwvc_ls_create(self.n, weights, len(edges), eu, ev, s0)
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.mwvc_ls_destroy(self._h)
+            self._h = None
+
+    def search(self, iterations, time_budget):
+        return bool(self._lib.mwvc_ls_search(self._h, iterations, time_budget))
+
+    @property
+    def cost(self):
+        return int(self._lib.mwvc_ls_cost(self._h))
+
+    @property
+    def best_cost(self):
+        return int(self._lib.mwvc_ls_best_cost(self._h))
+
+    @property
+    def best_seen(self):
+        return int(self._lib.mwvc_ls_best_seen(self._h))
+
+    @property
+    def steps(self):
+        return int(self._lib.mwvc_ls_steps(self._h))
+
+    def best(self):
+        out = np.empty(self.n, dtype=np.uint8)
+        self._lib.mwvc_ls_get_best(self._h, out)
+        return out

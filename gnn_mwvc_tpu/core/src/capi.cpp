@@ -1,0 +1,142 @@
+// C API over the MWVC host core (solver + local search), consumed from
+// Python via ctypes (gnn_mwvc_tpu/core/api.py).
+#include "localsearch.hpp"
+#include "solver.hpp"
+
+using namespace mwvc;
+
+extern "C" {
+
+// ---- solver ---------------------------------------------------------------
+void *mwvc_create(u32 n, const u32 *weights, u64 m, const u32 *eu,
+                  const u32 *ev) {
+    auto *s = new Solver();
+    s->init(n, weights, m, eu, ev);
+    return s;
+}
+
+void mwvc_destroy(void *h) { delete (Solver *)h; }
+
+void mwvc_reduce(void *h, int do_critical) {
+    ((Solver *)h)->reduce(do_critical != 0);
+}
+
+u32 mwvc_n_nodes(void *h) { return ((Solver *)h)->g.size(); }
+u32 mwvc_n_org(void *h) { return ((Solver *)h)->n_org; }
+u32 mwvc_active_count(void *h) { return ((Solver *)h)->g.n_active; }
+u64 mwvc_cost(void *h) { return ((Solver *)h)->cost; }
+u64 mwvc_timestamp(void *h) { return ((Solver *)h)->timestamp(); }
+u64 mwvc_label_count(void *h) { return ((Solver *)h)->wl.label_count; }
+void mwvc_reset_label_count(void *h) { ((Solver *)h)->wl.label_count = 0; }
+
+void mwvc_counters(void *h, u64 *out8) {
+    auto *s = (Solver *)h;
+    for (int i = 0; i < 8; ++i)
+        out8[i] = s->cnt.r[i];
+}
+
+int mwvc_is_active(void *h, u32 u) { return ((Solver *)h)->g.active[u]; }
+int mwvc_decided(void *h, u32 u) { return ((Solver *)h)->S[u]; }
+
+void mwvc_select_node(void *h, u32 u) { ((Solver *)h)->select_node(u); }
+void mwvc_select_neighborhood(void *h, u32 u) {
+    ((Solver *)h)->select_neighborhood(u);
+}
+
+u64 mwvc_snapshot_edges(void *h) {
+    auto *s = (Solver *)h;
+    u64 e = 0;
+    for (u32 u = 0; u < s->g.size(); ++u)
+        if (s->g.active[u])
+            e += s->g.deg[u];
+    return e;
+}
+
+// Compacted CSR of the active subgraph, rows in ascending node id.
+// ids: n_act core ids; wts/deg/nw per row; indptr n_act+1; indices directed.
+u32 mwvc_snapshot(void *h, u32 *ids, u32 *wts, u64 *nw, u32 *deg, u64 *indptr,
+                  u32 *indices) {
+    auto *s = (Solver *)h;
+    RevGraph &g = s->g;
+    u32 n = g.size(), k = 0;
+    std::vector<u32> newid(n, UINT32_MAX);
+    for (u32 u = 0; u < n; ++u)
+        if (g.active[u]) {
+            newid[u] = k;
+            ids[k] = u;
+            wts[k] = (u32)g.w[u];
+            nw[k] = g.nw[u];
+            deg[k] = g.deg[u];
+            k++;
+        }
+    u64 p = 0;
+    for (u32 i = 0; i < k; ++i) {
+        indptr[i] = p;
+        u32 u = ids[i];
+        for (u32 e = g.first(u); !g.at_end(u, e); e = g.arena[e].next)
+            indices[p++] = newid[g.arena[e].nbr];
+        indptr[i + 1] = p;
+    }
+    return k;
+}
+
+u32 mwvc_solve_small_components(void *h, u32 limit) {
+    return ((Solver *)h)->solve_small_components(limit);
+}
+
+u64 mwvc_peel(void *h, const u32 *order, const float *prob, u64 n_order,
+              int relable_interval) {
+    return ((Solver *)h)->peel(order, prob, n_order, relable_interval);
+}
+
+void mwvc_unfold(void *h, u64 t) { ((Solver *)h)->unfold(t); }
+
+void mwvc_get_solution(void *h, int8_t *out) {
+    auto *s = (Solver *)h;
+    for (u32 u = 0; u < s->n_org; ++u)
+        out[u] = s->S[u];
+}
+
+// Overwrite cover membership for the given (active, kernel-state) nodes and
+// adjust cost by the current node weights — the reference's
+// local_search::get_cover write-back (reference: local_search.hpp:212-222).
+void mwvc_apply_cover(void *h, const u32 *ids, const uint8_t *vals, u32 k) {
+    auto *s = (Solver *)h;
+    for (u32 i = 0; i < k; ++i) {
+        u32 u = ids[i];
+        bool nv = vals[i] != 0;
+        bool cur = s->S[u] == 1;
+        if (cur && !nv)
+            s->cost -= s->g.w[u];
+        else if (!cur && nv)
+            s->cost += s->g.w[u];
+        s->S[u] = nv ? 1 : 0;
+    }
+}
+
+// ---- local search ---------------------------------------------------------
+void *mwvc_ls_create(u32 n, const u32 *weights, u32 m, const u32 *eu,
+                     const u32 *ev, const uint8_t *s0) {
+    auto *ls = new LocalSearch();
+    ls->init(n, weights, m, eu, ev, s0);
+    return ls;
+}
+
+void mwvc_ls_destroy(void *h) { delete (LocalSearch *)h; }
+
+int mwvc_ls_search(void *h, u32 iterations, double time_budget) {
+    return ((LocalSearch *)h)->search(iterations, time_budget) ? 1 : 0;
+}
+
+u64 mwvc_ls_cost(void *h) { return ((LocalSearch *)h)->cost; }
+u64 mwvc_ls_best_cost(void *h) { return ((LocalSearch *)h)->best_cost; }
+u64 mwvc_ls_best_seen(void *h) { return ((LocalSearch *)h)->best_seen; }
+u64 mwvc_ls_steps(void *h) { return ((LocalSearch *)h)->step; }
+
+void mwvc_ls_get_best(void *h, uint8_t *out) {
+    auto *ls = (LocalSearch *)h;
+    for (u32 i = 0; i < ls->n; ++i)
+        out[i] = ls->best_s[i];
+}
+
+}  // extern "C"

@@ -1,0 +1,244 @@
+// Anytime weighted local search over the irreducible core — the FastWVC
+// family (capability-equivalent to the reference's local_search.hpp):
+// remove the heap-best cover vertex, greedily re-cover uncovered edges with
+// dynamic edge-weight inflation, configuration checking and age tiebreaks,
+// tracking both the snapshotted best cover and the cheapest cost ever seen
+// (the reference README's "written" vs "best seen" distinction).
+//
+// Re-designed around an indexed 4-ary min-heap (shallower than binary for
+// the update-heavy workload) and flat CSR adjacency with an uncovered
+// partition point per vertex.
+
+#pragma once
+#include <algorithm>
+#include <chrono>
+#include <cstdint>
+#include <limits>
+#include <vector>
+
+namespace mwvc {
+
+class LocalSearch {
+  public:
+    using u32 = uint32_t;
+    using u64 = uint64_t;
+
+    u32 n = 0, m = 0;
+    std::vector<u32> adj_nbr, adj_eid;     // grouped per vertex
+    std::vector<u32> adj_off;              // n+1
+    std::vector<u32> part;                 // per-vertex partition cursor
+    std::vector<u32> wt, edge_w, dscore, age;
+    std::vector<u32> eu, ev;
+    std::vector<uint8_t> in_s, best_s, conf;
+    u64 cost = 0, best_cost = 0, best_seen = UINT64_MAX;
+    u64 step = 0;
+
+    // indexed min-heap
+    std::vector<u32> heap, hpos;
+
+    void init(u32 n_, const u32 *weights, u32 m_, const u32 *eu_,
+              const u32 *ev_, const uint8_t *s0) {
+        n = n_;
+        m = m_;
+        wt.assign(weights, weights + n);
+        eu.assign(eu_, eu_ + m);
+        ev.assign(ev_, ev_ + m);
+        edge_w.assign(m, 1);
+        dscore.assign(n, 0);
+        age.assign(n, 0);
+        conf.assign(n, 1);
+        in_s.assign(s0, s0 + n);
+        best_s.assign(n, 0);
+
+        adj_off.assign(n + 1, 0);
+        for (u32 i = 0; i < m; ++i) {
+            adj_off[eu[i] + 1]++;
+            adj_off[ev[i] + 1]++;
+        }
+        for (u32 i = 0; i < n; ++i)
+            adj_off[i + 1] += adj_off[i];
+        adj_nbr.resize(2ull * m);
+        adj_eid.resize(2ull * m);
+        std::vector<u32> fill(adj_off.begin(), adj_off.end() - 1);
+        for (u32 i = 0; i < m; ++i) {
+            adj_nbr[fill[eu[i]]] = ev[i];
+            adj_eid[fill[eu[i]]++] = i;
+            adj_nbr[fill[ev[i]]] = eu[i];
+            adj_eid[fill[ev[i]]++] = i;
+        }
+        part.assign(adj_off.begin(), adj_off.end() - 1);
+
+        cost = 0;
+        for (u32 u = 0; u < n; ++u)
+            if (in_s[u])
+                cost += wt[u];
+        // dscore init: #edges covered solely by this vertex
+        for (u32 i = 0; i < m; ++i) {
+            if (in_s[eu[i]] && !in_s[ev[i]])
+                dscore[eu[i]]++;
+            else if (!in_s[eu[i]] && in_s[ev[i]])
+                dscore[ev[i]]++;
+        }
+        // drop redundant cover vertices (reference: local_search.hpp:89-97)
+        for (u32 u = 0; u < n; ++u) {
+            if (in_s[u] && dscore[u] == 0) {
+                in_s[u] = 0;
+                cost -= wt[u];
+                for (u32 k = adj_off[u]; k < adj_off[u + 1]; ++k)
+                    dscore[adj_nbr[k]]++;
+            }
+        }
+        best_s = in_s;
+        best_cost = cost;
+        best_seen = cost;
+
+        heap.resize(n);
+        hpos.resize(n);
+        for (u32 i = 0; i < n; ++i) {
+            heap[i] = i;
+            hpos[i] = i;
+        }
+        build_heap();
+    }
+
+    // ---- heap: top = cheapest-to-remove cover vertex ---------------------
+    // priority: removable (in_s && conf) first; among removable, smaller
+    // dscore/weight first; ties broken by smaller age.
+    inline bool before(u32 a, u32 b) const {
+        bool ra = in_s[a] && conf[a], rb = in_s[b] && conf[b];
+        if (!ra)
+            return false;
+        if (!rb)
+            return true;
+        u64 lhs = (u64)dscore[a] * wt[b], rhs = (u64)dscore[b] * wt[a];
+        if (lhs != rhs)
+            return lhs < rhs;
+        return age[a] < age[b];
+    }
+
+    static constexpr u32 ARITY = 4;
+
+    void sift_up(u32 u) {
+        u32 i = hpos[u];
+        while (i > 0) {
+            u32 p = (i - 1) / ARITY;
+            if (!before(heap[i], heap[p]))
+                break;
+            std::swap(hpos[heap[i]], hpos[heap[p]]);
+            std::swap(heap[i], heap[p]);
+            i = p;
+        }
+    }
+
+    void sift_down(u32 u) {
+        u32 i = hpos[u];
+        for (;;) {
+            u32 c0 = i * ARITY + 1;
+            if (c0 >= n)
+                break;
+            u32 best = c0;
+            u32 cend = std::min(c0 + ARITY, n);
+            for (u32 c = c0 + 1; c < cend; ++c)
+                if (before(heap[c], heap[best]))
+                    best = c;
+            if (!before(heap[best], heap[i]))
+                break;
+            std::swap(hpos[heap[i]], hpos[heap[best]]);
+            std::swap(heap[i], heap[best]);
+            i = best;
+        }
+    }
+
+    void build_heap() {
+        for (u32 i = n; i-- > 0;)
+            sift_down(heap[i]);
+    }
+
+    inline void update(u32 u) {
+        sift_up(u);
+        sift_down(u);
+    }
+
+    // ---- one batch of search steps (reference: local_search.hpp:149-210)
+    // Returns true if the snapshotted best improved.
+    bool search(u32 iterations, double time_budget) {
+        auto t0 = std::chrono::steady_clock::now();
+        std::vector<std::pair<u32, u32>> order;  // (nbr, eid)
+        for (u32 it = 0; it < iterations; ++it) {
+            step++;
+            if (std::chrono::duration<double>(std::chrono::steady_clock::now() -
+                                              t0)
+                    .count() >= time_budget)
+                break;
+
+            u32 u = heap[0];
+            if (!in_s[u]) {
+                // no removable candidate: reset configuration flags
+                // (kept for parity with the reference's CC mechanism)
+                for (u32 v = 0; v < n; ++v) {
+                    if (in_s[v] && !conf[v]) {
+                        conf[v] = 1;
+                        update(v);
+                    }
+                }
+                continue;
+            }
+            in_s[u] = 0;
+            cost -= wt[u];
+            dscore[u] = 0;
+            age[u] = (u32)step;
+            update(u);
+
+            // Process u's adjacency with now-uncovered endpoints first,
+            // ordered by edge_w/w desc then age asc, then the still-covered
+            // ones (the reference's partition + sort,
+            // local_search.hpp:171-175).
+            order.clear();
+            for (u32 k = adj_off[u]; k < adj_off[u + 1]; ++k)
+                order.push_back({adj_nbr[k], adj_eid[k]});
+            auto mid = std::partition(
+                order.begin(), order.end(),
+                [&](const auto &a) { return !in_s[a.first]; });
+            std::sort(order.begin(), mid, [&](const auto &a, const auto &b) {
+                u64 lhs = (u64)edge_w[a.second] * wt[b.first];
+                u64 rhs = (u64)edge_w[b.second] * wt[a.first];
+                if (lhs != rhs)
+                    return lhs > rhs;
+                return age[a.first] < age[b.first];
+            });
+
+            u32 count = 1;
+            for (auto &[v, id] : order) {
+                if (!in_s[v]) {
+                    age[v] = (u32)step;
+                    in_s[v] = 1;
+                    cost += wt[v];
+                    edge_w[id] += count;
+                    dscore[v] = edge_w[id];
+                    update(v);
+                    for (u32 k = adj_off[v]; k < adj_off[v + 1]; ++k) {
+                        u32 x = adj_nbr[k];
+                        if (x == u)
+                            continue;
+                        dscore[x] -= edge_w[adj_eid[k]];  // u32 wrap == ref
+                        update(x);
+                    }
+                    count++;
+                } else {
+                    dscore[v] += edge_w[id];
+                    update(v);
+                }
+            }
+            if (cost < best_seen)
+                best_seen = cost;
+        }
+        if (cost < best_cost) {
+            best_cost = cost;
+            best_s = in_s;
+            return true;
+        }
+        return false;
+    }
+};
+
+}  // namespace mwvc

@@ -1,0 +1,239 @@
+"""End-to-end GNN-guided MWVC solve.
+
+Orchestration (reference: src/GNN_VC.cpp:156-239, 241-392):
+
+  phase 1 (kernelize + peel):
+      reduce to fixed point; loop { exactly solve small components; snapshot
+      the active subgraph; score every vertex with the GNN (device); order by
+      confidence; peel decisions through the native core until the staleness
+      trigger } until the graph is empty.
+  phase 2 (local search):
+      the peeled decisions over the kernel become the initial cover for the
+      anytime weighted local search (native core), run in adaptive batches
+      until the time budget.
+  finally: unfold all reductions, validate, emit the reference CSV contract.
+
+Device/host split: scoring is the only device work; big rounds go to the TPU
+(ELL aggregation), small rounds to the in-process CPU backend where scatter
+segment-sum is fine and compiles are cheap — the peel loop shrinks the graph
+every round, and per-shape TPU compiles would dominate otherwise.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import numpy as np
+
+from gnn_mwvc_tpu.core import CoreLocalSearch, CoreSolver
+from gnn_mwvc_tpu.graph import DeviceGraph, Graph
+from gnn_mwvc_tpu.models import Model, load_pretrained
+from gnn_mwvc_tpu.models.gnn import make_scorer
+
+CONF_EPS = 1e-4  # confidence tie width (reference: GNN_VC.cpp:196)
+
+
+class GnnScorer:
+    """Scores kernel snapshots, routing to TPU or CPU by size."""
+
+    def __init__(self, model: Optional[Model] = None, tpu_min_edges=4_000_000,
+                 compat=True):
+        import jax
+
+        self.model = model or load_pretrained()
+        self.tpu_min_edges = tpu_min_edges
+        # jax.devices() lists only the default backend; ask for the CPU
+        # backend explicitly (it always exists alongside an accelerator).
+        self._cpu_dev = None
+        self._tpu_dev = None
+        try:
+            self._cpu_dev = jax.devices("cpu")[0]
+        except Exception:
+            pass
+        for d in jax.devices():
+            if d.platform != "cpu":
+                self._tpu_dev = d
+                break
+        if self._cpu_dev is None:  # CPU-only environment
+            self._cpu_dev = jax.devices()[0]
+        self._fn_accel = make_scorer(self.model, compat=compat)
+        self._fn_cpu = make_scorer(self.model, compat=compat)
+
+    def __call__(self, snap, weight_scale: float) -> np.ndarray:
+        """snap: core Snapshot; returns scores aligned with snapshot rows."""
+        import jax
+
+        e = int(snap.indptr[-1]) if snap.n else 0
+        use_tpu = (
+            self._tpu_dev is not None and e >= self.tpu_min_edges
+        )
+        dg = DeviceGraph.build(
+            snap.weights,
+            snap.indptr.astype(np.int64),
+            snap.indices.astype(np.int64),
+            with_ell=use_tpu,
+        )
+        dev = self._tpu_dev if use_tpu else self._cpu_dev
+        with jax.default_device(dev):
+            dg_dev = jax.device_put(dg, dev)
+            fn = self._fn_accel if use_tpu else self._fn_cpu
+            out = fn(self.model.params, dg_dev, np.float32(weight_scale))
+            return np.asarray(out)[: snap.n]
+
+
+def confidence_order(prob: np.ndarray, weights: np.ndarray,
+                     deg: np.ndarray) -> np.ndarray:
+    """Vectorized analog of the reference's confidence comparator
+    (reference: src/GNN_VC.cpp:194-205): primary key = eps-bucketed
+    min(p, 1-p) ascending; within a bucket exclusions come first; inclusion
+    ties order by weight asc then degree desc, exclusion ties by weight desc
+    then degree asc."""
+    av = np.minimum(prob, 1.0 - prob)
+    bucket = np.floor(av / CONF_EPS)
+    incl = prob > 0.5
+    w = weights.astype(np.int64)
+    d = deg.astype(np.int64)
+    k_w = np.where(incl, w, -w)
+    k_d = np.where(incl, -d, d)
+    return np.lexsort((k_d, k_w, incl.astype(np.int8), bucket))
+
+
+@dataclasses.dataclass
+class SolveResult:
+    solution: np.ndarray        # 0/1 per original vertex
+    cost: int                   # cover written
+    best_seen: int              # cheapest cost observed (may be < cost)
+    time_to_best: float
+    time_gnn: float
+    time_total: float
+    kernel_size: int            # nodes left after initial reductions
+    initial_cost: int           # cost paid by initial reductions
+    counters: np.ndarray        # rule-fire counters r1..r8
+    ls_steps: int = 0
+
+
+def gnn_peel(
+    core: CoreSolver,
+    scorer,
+    weight_scale: float,
+    relable_interval: int = -1,
+    component_limit: int = 75,
+    verbose: bool = False,
+):
+    """Phase 1; returns (timestamp_of_kernel, kernel_size, initial_cost)."""
+    core.reduce()
+    t_kernel = None
+    kernel_size = 0
+    initial_cost = 0
+    first = True
+    while core.active_count > 0:
+        core.solve_small_components(component_limit)
+        if first:
+            first = False
+            t_kernel = core.timestamp
+            kernel_size = core.active_count
+            initial_cost = core.cost
+        if core.active_count == 0:
+            break
+        snap = core.snapshot()
+        prob = scorer(snap, weight_scale)
+        order = confidence_order(prob, snap.weights, snap.deg)
+        core.reset_label_count()
+        if verbose:
+            print(f"Remaining nodes: {core.active_count}", end="\r",
+                  flush=True)
+        core.peel(snap.ids[order], prob[order].astype(np.float32),
+                  relable_interval)
+    if t_kernel is None:
+        t_kernel = core.timestamp
+    return t_kernel, kernel_size, initial_cost
+
+
+def solve(
+    g: Graph,
+    model: Optional[Model] = None,
+    time_limit: float = 1000.0,
+    relable_interval: int = -1,
+    verbose: bool = False,
+    scorer=None,
+    seed_step_size: int = 1 << 16,
+) -> SolveResult:
+    t_start = time.perf_counter()
+    if g.n == 0:
+        return SolveResult(np.zeros(0, np.int8), 0, 0, 0.0, 0.0, 0.0, 0, 0,
+                           np.zeros(8, np.uint64))
+
+    weight_scale = float(g.weights.max())
+    scorer = scorer or GnnScorer(model)
+
+    core = CoreSolver(g.weights, g.edge_array())
+    t_kernel, kernel_size, initial_cost = gnn_peel(
+        core, lambda s, ws=weight_scale: scorer(s, ws), weight_scale,
+        relable_interval, verbose=verbose,
+    )
+    # rewind the peel decisions; they remain in S as the initial cover
+    core.unfold(t_kernel)
+    time_gnn = time.perf_counter() - t_start
+    cost_gnn = core.cost
+    if verbose:
+        print(f"GNN-VC done in {time_gnn:.3f}s, cost: {cost_gnn}")
+
+    if core.active_count == 0:
+        core.unfold(0)
+        sol = core.solution()
+        assert (sol >= 0).all()
+        total = time.perf_counter() - t_start
+        return SolveResult(
+            sol.astype(np.int8), core.cost, core.cost, time_gnn, time_gnn,
+            total, kernel_size, initial_cost, core.counters,
+        )
+
+    # ---- phase 2: local search over the kernel --------------------------
+    snap = core.snapshot()
+    # kernel edges as unique pairs in compacted ids
+    rows = np.repeat(
+        np.arange(snap.n, dtype=np.int64), np.diff(snap.indptr.astype(np.int64))
+    )
+    keep = rows < snap.indices
+    kedges = np.stack([rows[keep], snap.indices[keep]], axis=1)
+    s0 = np.array([core.decided(u) == 1 for u in snap.ids], dtype=np.uint8)
+    ls = CoreLocalSearch(snap.weights, kedges, s0)
+
+    t2 = time.perf_counter()
+    t_best = t2
+    step_size = seed_step_size
+    while time_gnn + (time.perf_counter() - t2) < time_limit:
+        remaining = time_limit - time_gnn - (time.perf_counter() - t2)
+        if ls.search(step_size, remaining):
+            t_best = time.perf_counter()
+            step_size = min(step_size * 2, 1 << 16)
+            if verbose:
+                print(
+                    f"{time_gnn + (t_best - t2):.2f},"
+                    f"{ls.best_cost + initial_cost}, step size {step_size}"
+                )
+        else:
+            step_size = max(step_size // 2, 1 << 10)
+
+    # write the best cover back into the core solution (cost adjusted with
+    # kernel-state weights, as the reference's get_cover does)
+    core.apply_cover(snap.ids, ls.best())
+
+    core.unfold(0)
+    sol = core.solution()
+    assert (sol >= 0).all()
+    total = time.perf_counter() - t_start
+    return SolveResult(
+        sol.astype(np.int8),
+        core.cost,
+        min(ls.best_seen + initial_cost, core.cost),
+        time_gnn + (t_best - t2),
+        time_gnn,
+        total,
+        kernel_size,
+        initial_cost,
+        core.counters,
+        ls_steps=ls.steps,
+    )
