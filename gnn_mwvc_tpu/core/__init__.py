@@ -1,1 +1,8 @@
-from gnn_mwvc_tpu.core.api import CoreSolver, CoreLocalSearch, lib_path  # noqa: F401
+from gnn_mwvc_tpu.core.api import (  # noqa: F401
+    CoreSolver,
+    CoreLocalSearch,
+    improve_cover,
+    approx_cover,
+    greedy_cover,
+    lib_path,
+)

@@ -30,7 +30,8 @@ def _build() -> str:
     srcs = [os.path.join(_SRC, "capi.cpp")]
     hdrs = [
         os.path.join(_SRC, h)
-        for h in ("revgraph.hpp", "solver.hpp", "localsearch.hpp")
+        for h in ("revgraph.hpp", "solver.hpp", "localsearch.hpp",
+                  "heuristics.hpp")
     ]
     if os.path.exists(_LIB):
         lib_mtime = os.path.getmtime(_LIB)
@@ -55,7 +56,8 @@ def _load():
             lib = ct.CDLL(_build())
             c = ct.c_void_p
             sigs = {
-                "mwvc_create": ([ct.c_uint32, u32p, ct.c_uint64, u32p, u32p], c),
+                "mwvc_create": ([ct.c_uint32, u32p, ct.c_uint64, u32p, u32p,
+                                 ct.c_uint32], c),
                 "mwvc_destroy": ([c], None),
                 "mwvc_reduce": ([c, ct.c_int], None),
                 "mwvc_n_nodes": ([c], ct.c_uint32),
@@ -74,8 +76,16 @@ def _load():
                 "mwvc_snapshot": ([c, u32p, u32p, u64p, u32p, u64p, u32p],
                                   ct.c_uint32),
                 "mwvc_solve_small_components": ([c, ct.c_uint32], ct.c_uint32),
-                "mwvc_peel": ([c, u32p, f32p, ct.c_uint64, ct.c_int],
-                              ct.c_uint64),
+                "mwvc_peel": ([c, u32p, f32p, ct.c_uint64, ct.c_int,
+                               ct.c_uint32], ct.c_uint64),
+                "mwvc_labels_from_model": ([c], ct.c_uint64),
+                "mwvc_mistakes_from_model": ([c], ct.c_uint64),
+                "mwvc_improve_cover": ([ct.c_uint32, u32p, ct.c_uint64, u32p,
+                                        u32p, u8p], ct.c_uint64),
+                "mwvc_approx_construct": ([ct.c_uint32, u32p, ct.c_uint64,
+                                           u32p, u32p, u8p], ct.c_uint64),
+                "mwvc_greedy_construct": ([ct.c_uint32, u32p, ct.c_uint64,
+                                           u32p, u32p, u8p], ct.c_uint64),
                 "mwvc_unfold": ([c, ct.c_uint64], None),
                 "mwvc_get_solution": ([c, i8p], None),
                 "mwvc_apply_cover": ([c, u32p, u8p, ct.c_uint32], None),
@@ -118,14 +128,15 @@ class Snapshot:
 class CoreSolver:
     """The kernelization engine over one graph instance."""
 
-    def __init__(self, weights, edges):
+    def __init__(self, weights, edges, num_rules=7):
         lib = _load()
         self._lib = lib
         weights = np.ascontiguousarray(weights, dtype=np.uint32)
         edges = np.asarray(edges, dtype=np.uint32).reshape(-1, 2)
         eu = np.ascontiguousarray(edges[:, 0])
         ev = np.ascontiguousarray(edges[:, 1])
-        self._h = lib.mwvc_create(len(weights), weights, len(edges), eu, ev)
+        self._h = lib.mwvc_create(len(weights), weights, len(edges), eu, ev,
+                                  num_rules)
         self.n_org = int(lib.mwvc_n_org(self._h))
 
     def __del__(self):
@@ -195,13 +206,23 @@ class CoreSolver:
     def solve_small_components(self, limit=75):
         return int(self._lib.mwvc_solve_small_components(self._h, limit))
 
-    def peel(self, order, prob, relable_interval=-1):
+    def peel(self, order, prob, relable_interval=-1, use_gnn=True,
+             use_reductions=True):
         order = np.ascontiguousarray(order, dtype=np.uint32)
         prob = np.ascontiguousarray(prob, dtype=np.float32)
+        flags = (1 if use_gnn else 0) | (2 if use_reductions else 0)
         return int(
             self._lib.mwvc_peel(self._h, order, prob, len(order),
-                                relable_interval)
+                                relable_interval, flags)
         )
+
+    @property
+    def labels_from_model(self):
+        return int(self._lib.mwvc_labels_from_model(self._h))
+
+    @property
+    def mistakes_from_model(self):
+        return int(self._lib.mwvc_mistakes_from_model(self._h))
 
     def unfold(self, t=0):
         self._lib.mwvc_unfold(self._h, t)
@@ -259,3 +280,37 @@ class CoreLocalSearch:
         out = np.empty(self.n, dtype=np.uint8)
         self._lib.mwvc_ls_get_best(self._h, out)
         return out
+
+
+def _flat_edges(weights, edges):
+    weights = np.ascontiguousarray(weights, dtype=np.uint32)
+    edges = np.asarray(edges, dtype=np.uint32).reshape(-1, 2)
+    return (weights, np.ascontiguousarray(edges[:, 0]),
+            np.ascontiguousarray(edges[:, 1]))
+
+
+def improve_cover(weights, edges, vc):
+    """In-place neighborhood-improvement pass; returns the improved cost."""
+    lib = _load()
+    w, eu, ev = _flat_edges(weights, edges)
+    vc = np.ascontiguousarray(vc, dtype=np.uint8)
+    cost = lib.mwvc_improve_cover(len(w), w, len(eu), eu, ev, vc)
+    return int(cost), vc
+
+
+def approx_cover(weights, edges):
+    """Primal-dual 2-approximation construction; returns (cost, cover)."""
+    lib = _load()
+    w, eu, ev = _flat_edges(weights, edges)
+    vc = np.zeros(len(w), dtype=np.uint8)
+    cost = lib.mwvc_approx_construct(len(w), w, len(eu), eu, ev, vc)
+    return int(cost), vc
+
+
+def greedy_cover(weights, edges):
+    """Degree/weight greedy construction; returns (cost, cover)."""
+    lib = _load()
+    w, eu, ev = _flat_edges(weights, edges)
+    vc = np.zeros(len(w), dtype=np.uint8)
+    cost = lib.mwvc_greedy_construct(len(w), w, len(eu), eu, ev, vc)
+    return int(cost), vc

@@ -1,5 +1,6 @@
 // C API over the MWVC host core (solver + local search), consumed from
 // Python via ctypes (gnn_mwvc_tpu/core/api.py).
+#include "heuristics.hpp"
 #include "localsearch.hpp"
 #include "solver.hpp"
 
@@ -9,9 +10,9 @@ extern "C" {
 
 // ---- solver ---------------------------------------------------------------
 void *mwvc_create(u32 n, const u32 *weights, u64 m, const u32 *eu,
-                  const u32 *ev) {
+                  const u32 *ev, u32 num_rules) {
     auto *s = new Solver();
-    s->init(n, weights, m, eu, ev);
+    s->init(n, weights, m, eu, ev, num_rules);
     return s;
 }
 
@@ -85,8 +86,15 @@ u32 mwvc_solve_small_components(void *h, u32 limit) {
 }
 
 u64 mwvc_peel(void *h, const u32 *order, const float *prob, u64 n_order,
-              int relable_interval) {
-    return ((Solver *)h)->peel(order, prob, n_order, relable_interval);
+              int relable_interval, u32 flags) {
+    return ((Solver *)h)->peel(order, prob, n_order, relable_interval, flags);
+}
+
+u64 mwvc_labels_from_model(void *h) {
+    return ((Solver *)h)->labels_from_model;
+}
+u64 mwvc_mistakes_from_model(void *h) {
+    return ((Solver *)h)->mistakes_from_model;
 }
 
 void mwvc_unfold(void *h, u64 t) { ((Solver *)h)->unfold(t); }
@@ -137,6 +145,22 @@ void mwvc_ls_get_best(void *h, uint8_t *out) {
     auto *ls = (LocalSearch *)h;
     for (u32 i = 0; i < ls->n; ++i)
         out[i] = ls->best_s[i];
+}
+
+// ---- standalone heuristics ------------------------------------------------
+u64 mwvc_improve_cover(u32 n, const u32 *w, u64 m, const u32 *eu,
+                       const u32 *ev, uint8_t *vc) {
+    return improve_cover(n, w, m, eu, ev, vc);
+}
+
+u64 mwvc_approx_construct(u32 n, const u32 *w, u64 m, const u32 *eu,
+                          const u32 *ev, uint8_t *vc) {
+    return approx_construct(n, w, m, eu, ev, vc);
+}
+
+u64 mwvc_greedy_construct(u32 n, const u32 *w, u64 m, const u32 *eu,
+                          const u32 *ev, uint8_t *vc) {
+    return greedy_construct(n, w, m, eu, ev, vc);
 }
 
 }  // extern "C"

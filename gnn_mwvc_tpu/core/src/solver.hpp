@@ -167,18 +167,20 @@ struct Worklists {
     std::vector<std::vector<u32>> stack;
     std::vector<std::vector<uint8_t>> visited;
     u64 label_count = 0;
+    u32 nrules = NUM_LOCAL_RULES;
 
-    void init(u32 n) {
-        stack.assign(NUM_LOCAL_RULES, {});
-        visited.assign(NUM_LOCAL_RULES, std::vector<uint8_t>(n, 0));
-        for (u32 r = 0; r < NUM_LOCAL_RULES; ++r) {
+    void init(u32 n, u32 rules = NUM_LOCAL_RULES) {
+        nrules = rules;
+        stack.assign(nrules, {});
+        visited.assign(nrules, std::vector<uint8_t>(n, 0));
+        for (u32 r = 0; r < nrules; ++r) {
             stack[r].resize(n);
             for (u32 u = 0; u < n; ++u)
                 stack[r][u] = u;
         }
     }
     void push(u32 u) {
-        for (u32 r = 0; r < NUM_LOCAL_RULES; ++r) {
+        for (u32 r = 0; r < nrules; ++r) {
             if (visited[r][u])
                 stack[r].push_back(u);
             visited[r][u] = 0;
@@ -191,13 +193,13 @@ struct Worklists {
         return u;
     }
     void extend(u32 u) {
-        for (u32 r = 0; r < NUM_LOCAL_RULES; ++r) {
+        for (u32 r = 0; r < nrules; ++r) {
             visited[r].push_back(0);
             stack[r].push_back(u);
         }
     }
     void shrink() {  // gadget node destroyed on unfold
-        for (u32 r = 0; r < NUM_LOCAL_RULES; ++r)
+        for (u32 r = 0; r < nrules; ++r)
             visited[r].pop_back();
     }
 };
@@ -213,11 +215,14 @@ class Solver {
     Small16 sms;
     u32 n_org = 0;
 
-    void init(u32 n, const u32 *weights, u64 m, const u32 *eu, const u32 *ev) {
+    u64 labels_from_model = 0, mistakes_from_model = 0;
+
+    void init(u32 n, const u32 *weights, u64 m, const u32 *eu, const u32 *ev,
+              u32 nrules = NUM_LOCAL_RULES) {
         g.init(n, weights, m, eu, ev);
         S.assign(n, -1);
         n_org = n;
-        wl.init(n);
+        wl.init(n, nrules);
     }
 
     u64 timestamp() const { return g.timestamp(); }
@@ -463,7 +468,7 @@ class Solver {
         do {
             critical = false;
             u32 rule = 0;
-            while (rule < NUM_LOCAL_RULES) {
+            while (rule < wl.nrules) {
                 if (wl.stack[rule].empty()) {
                     rule++;
                     continue;
@@ -522,11 +527,15 @@ class Solver {
     // (reference: GNN_VC.cpp:112-150, medium_solve.hpp)
     u32 solve_small_components(u32 limit);
 
-    // ---- GNN peel loop (reference: GNN_VC.cpp:198-236) ------------------
+    // ---- GNN peel loop (reference: GNN_VC.cpp:198-236; ablation variant
+    // GNN_VC_experimental.cpp:104-180) ------------------------------------
     // order: active node ids sorted by confidence; prob: aligned scores.
+    // flags: bit0 = GNN decides node-vs-neighborhood (else neighborhood
+    // always), bit1 = run the reduction cascade after each decision.
     // Returns index i where it stopped (== n_order when exhausted).
     u64 peel(const u32 *order, const float *prob, u64 n_order,
-             int relable_interval) {
+             int relable_interval, u32 flags = 3) {
+        bool use_gnn = flags & 1, use_red = flags & 2;
         u64 i = 0, j = 0;
         while (i < n_order && g.n_active > 0) {
             if ((relable_interval > 0 && j > (u64)relable_interval) ||
@@ -535,16 +544,29 @@ class Solver {
                 break;
             u32 u = order[i];
             bool model_in = prob[i] > 0.5f;
-            if (S[u] != -1 && (S[u] == 1) != model_in) {
+            bool mistake =
+                S[u] != -1 &&
+                (use_gnn ? (S[u] == 1) != model_in : S[u] == 1);
+            if (mistake) {
+                mistakes_from_model++;
                 j++;
                 i++;
             } else if (g.active[u]) {
-                if (model_in)
-                    select_node(u);
-                else
+                if (use_gnn && use_red) {
+                    if (model_in) {
+                        select_node(u);
+                        labels_from_model++;
+                    } else {
+                        labels_from_model += g.deg[u] + 1;
+                        select_neighborhood(u);
+                    }
+                } else {
+                    labels_from_model += g.deg[u] + 1;
                     select_neighborhood(u);
+                }
                 i++;
-                reduce(g.n_active < CRITICAL_LIMIT);
+                if (use_red)
+                    reduce(g.n_active < CRITICAL_LIMIT);
             } else {
                 i++;
             }
