@@ -4,5 +4,6 @@ from gnn_mwvc_tpu.core.api import (  # noqa: F401
     improve_cover,
     approx_cover,
     greedy_cover,
+    baseline_solve,
     lib_path,
 )

@@ -31,7 +31,7 @@ def _build() -> str:
     hdrs = [
         os.path.join(_SRC, h)
         for h in ("revgraph.hpp", "solver.hpp", "localsearch.hpp",
-                  "heuristics.hpp")
+                  "heuristics.hpp", "baselines.hpp")
     ]
     if os.path.exists(_LIB):
         lib_mtime = os.path.getmtime(_LIB)
@@ -86,6 +86,11 @@ def _load():
                                            u32p, u32p, u8p], ct.c_uint64),
                 "mwvc_greedy_construct": ([ct.c_uint32, u32p, ct.c_uint64,
                                            u32p, u32p, u8p], ct.c_uint64),
+                "mwvc_baseline_solve": ([ct.c_int, ct.c_uint32, u32p,
+                                         ct.c_uint64, u32p, u32p, ct.c_uint32,
+                                         ct.c_double, ct.c_int, u8p,
+                                         ct.POINTER(ct.c_double)],
+                                        ct.c_uint64),
                 "mwvc_unfold": ([c, ct.c_uint64], None),
                 "mwvc_get_solution": ([c, i8p], None),
                 "mwvc_apply_cover": ([c, u32p, u8p, ct.c_uint32], None),
@@ -314,3 +319,25 @@ def greedy_cover(weights, edges):
     vc = np.zeros(len(w), dtype=np.uint8)
     cost = lib.mwvc_greedy_construct(len(w), w, len(eu), eu, ev, vc)
     return int(cost), vc
+
+
+BASELINE_IDS = {"fastwvc": 0, "dynwvc2": 1, "numwvc": 2, "hils": 3}
+
+
+def baseline_solve(which, weights, edges, seed=1, cutoff=10.0, cc_mode=3):
+    """Run a comparison baseline solver; returns (cost, cover, time_to_best).
+
+    which: "fastwvc" | "dynwvc2" | "numwvc" | "hils" (hils solves MWIS and
+    returns the complement cover; cost = total weight - IS weight).
+    """
+    import ctypes as _ct
+
+    lib = _load()
+    w, eu, ev = _flat_edges(weights, edges)
+    vc = np.zeros(len(w), dtype=np.uint8)
+    tbest = _ct.c_double(0.0)
+    cost = lib.mwvc_baseline_solve(
+        BASELINE_IDS[which], len(w), w, len(eu), eu, ev, seed, cutoff,
+        cc_mode, vc, _ct.byref(tbest),
+    )
+    return int(cost), vc, float(tbest.value)

@@ -1,5 +1,6 @@
 // C API over the MWVC host core (solver + local search), consumed from
 // Python via ctypes (gnn_mwvc_tpu/core/api.py).
+#include "baselines.hpp"
 #include "heuristics.hpp"
 #include "localsearch.hpp"
 #include "solver.hpp"
@@ -161,6 +162,50 @@ u64 mwvc_approx_construct(u32 n, const u32 *w, u64 m, const u32 *eu,
 u64 mwvc_greedy_construct(u32 n, const u32 *w, u64 m, const u32 *eu,
                           const u32 *ev, uint8_t *vc) {
     return greedy_construct(n, w, m, eu, ev, vc);
+}
+
+// ---- comparison baselines -------------------------------------------------
+// solver: 0 = FastWVC, 1 = DynWVC2, 2 = NuMWVC, 3 = HILS (MWIS).
+// Returns best cover cost (for HILS: total weight - best IS weight) and
+// fills vc; best_time receives seconds-to-best.
+u64 mwvc_baseline_solve(int which, u32 n, const u32 *w, u64 m, const u32 *eu,
+                        const u32 *ev, u32 seed, double cutoff, int cc_mode,
+                        uint8_t *vc, double *best_time) {
+    using namespace baselines;
+    if (which == 3) {
+        HilsSolver h(n, w, m, eu, ev, seed);
+        h.run(cutoff);
+        for (u32 v = 0; v < n; ++v)
+            vc[v] = 1;
+        u64 total = 0;
+        for (u32 v = 0; v < n; ++v)
+            total += w[v];
+        for (u32 v : h.best_set)
+            vc[v] = 0;
+        if (best_time)
+            *best_time = h.best_time;
+        return total - h.best_weight;
+    }
+    if (which == 2) {
+        NuMwvcSolver s2(n, w, m, eu, ev, seed);
+        s2.construct_with_rules();
+        s2.search(cutoff);
+        for (u32 v = 0; v < n; ++v)
+            vc[v] = s2.best_c[v];
+        if (best_time)
+            *best_time = s2.best_time;
+        return s2.best_weight;
+    }
+    WvcBaseline s2(n, w, m, eu, ev, seed,
+                   which == 0 ? WvcBaseline::FASTWVC : WvcBaseline::DYNWVC2,
+                   cc_mode);
+    s2.construct();
+    s2.search(cutoff);
+    for (u32 v = 0; v < n; ++v)
+        vc[v] = s2.best_c[v];
+    if (best_time)
+        *best_time = s2.best_time;
+    return s2.best_weight;
 }
 
 }  // extern "C"

@@ -1,0 +1,60 @@
+"""mwvc-baseline: the comparison solver suite with the reference's CLI
+contracts (reference: README.md "Programs")::
+
+    mwvc-baseline fastwvc [graph] [seed] [cutoff] [cc mode]
+    mwvc-baseline dynwvc2 [graph] [seed] [cutoff] [cc mode]
+    mwvc-baseline numwvc  [graph] [seed] [cutoff]
+    mwvc-baseline hils    [graph] --seed S --time T [--complement]
+
+Output: ``file,best_weight,best_time`` CSV (for hils: the IS weight, and the
+equivalent VC cost as ``file,is_weight,vc_cost,best_time``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="mwvc-baseline")
+    ap.add_argument("solver",
+                    choices=["fastwvc", "dynwvc2", "numwvc", "hils"])
+    ap.add_argument("graph")
+    ap.add_argument("seed", type=int, nargs="?", default=1)
+    ap.add_argument("cutoff", type=float, nargs="?", default=10.0)
+    ap.add_argument("cc_mode", type=int, nargs="?", default=3)
+    ap.add_argument("--out", default=None, help="write 0/1 cover file")
+    args = ap.parse_args(argv)
+
+    from gnn_mwvc_tpu.core import baseline_solve
+    from gnn_mwvc_tpu.graphio import (
+        cover_cost,
+        is_vertex_cover,
+        read_metis,
+        write_solution,
+    )
+
+    g = read_metis(args.graph)
+    cost, vc, t_best = baseline_solve(
+        args.solver, g.weights, g.edge_array(), seed=args.seed,
+        cutoff=args.cutoff, cc_mode=args.cc_mode,
+    )
+    if not is_vertex_cover(g, vc):
+        print("Result is not a vertex cover")
+        return 1
+    assert cover_cost(g, vc) == cost
+    if args.out:
+        write_solution(args.out, vc)
+    if args.solver == "hils":
+        is_weight = int(g.weights.sum()) - cost
+        print(f"{args.graph},{is_weight},{cost},{t_best:.4f}")
+    else:
+        print(f"{args.graph},{cost},{t_best:.4f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

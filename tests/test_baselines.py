@@ -1,0 +1,58 @@
+"""Comparison-baseline solver tests: validity + quality sanity."""
+
+import numpy as np
+import pytest
+
+from gnn_mwvc_tpu.core import baseline_solve
+from gnn_mwvc_tpu.graphio import cover_cost, is_vertex_cover
+from tests.test_core import brute_force_mwvc, small_random
+
+
+@pytest.mark.parametrize("which", ["fastwvc", "dynwvc2", "numwvc", "hils"])
+def test_baseline_valid(which):
+    from tests.conftest import random_graph
+
+    g = random_graph(400, 8, seed=77, wmax=100)
+    cost, vc, t_best = baseline_solve(which, g.weights, g.edge_array(),
+                                      seed=3, cutoff=2.0)
+    assert is_vertex_cover(g, vc)
+    assert cover_cost(g, vc) == cost
+    # quality sanity: strictly better than the all-in cover and the trivial
+    # bound of total weight
+    assert cost < g.weights.sum() * 0.9
+
+
+@pytest.mark.parametrize("which", ["fastwvc", "dynwvc2", "numwvc", "hils"])
+def test_baseline_near_optimal_small(which):
+    g = small_random(12, 0.3, 5)
+    opt = brute_force_mwvc(g)
+    cost, vc, _ = baseline_solve(which, g.weights, g.edge_array(), seed=1,
+                                 cutoff=2.0)
+    assert is_vertex_cover(g, vc)
+    assert cost == opt  # tiny instances: all baselines find the optimum
+
+
+def test_baselines_comparable_to_flagship():
+    """On a mid graph, our GNN solver should beat or match every baseline."""
+    from tests.conftest import random_graph
+    from gnn_mwvc_tpu.solver import solve
+
+    g = random_graph(1000, 10, seed=88, wmax=200)
+    res = solve(g, time_limit=3.0)
+    for which in ("fastwvc", "dynwvc2", "numwvc", "hils"):
+        cost, vc, _ = baseline_solve(which, g.weights, g.edge_array(),
+                                     seed=1, cutoff=3.0)
+        assert is_vertex_cover(g, vc)
+        assert res.cost <= cost * 1.02, (which, res.cost, cost)
+
+
+def test_baseline_determinism():
+    from tests.conftest import random_graph
+
+    g = random_graph(200, 6, seed=9)
+    a = baseline_solve("fastwvc", g.weights, g.edge_array(), seed=7,
+                       cutoff=0.5)
+    b = baseline_solve("fastwvc", g.weights, g.edge_array(), seed=7,
+                       cutoff=0.5)
+    # same seed, same budget: costs should coincide on a small instance
+    assert a[0] == b[0]
