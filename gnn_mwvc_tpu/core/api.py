@@ -93,6 +93,7 @@ def _load():
                                         ct.c_uint64),
                 "mwvc_unfold": ([c, ct.c_uint64], None),
                 "mwvc_get_solution": ([c, i8p], None),
+                "mwvc_preview_solution": ([c, i8p], None),
                 "mwvc_apply_cover": ([c, u32p, u8p, ct.c_uint32], None),
                 "mwvc_ls_create": ([ct.c_uint32, u32p, ct.c_uint32, u32p, u32p,
                                     u8p], c),
@@ -235,6 +236,12 @@ class CoreSolver:
     def solution(self):
         out = np.empty(self.n_org, dtype=np.int8)
         self._lib.mwvc_get_solution(self._h, out)
+        return out
+
+    def preview_solution(self):
+        """Full original-vertex solution as if unfolded now (state kept)."""
+        out = np.empty(self.n_org, dtype=np.int8)
+        self._lib.mwvc_preview_solution(self._h, out)
         return out
 
     def apply_cover(self, ids, vals):

@@ -100,6 +100,17 @@ u64 mwvc_mistakes_from_model(void *h) {
 
 void mwvc_unfold(void *h, u64 t) { ((Solver *)h)->unfold(t); }
 
+// Non-destructive full-solution preview: deep-copy the solver (RevGraph is
+// index-based, so the default copy is a true clone), unfold the copy to
+// timestamp 0 and read its solution.  Enables anytime checkpointing without
+// losing the live action log.
+void mwvc_preview_solution(void *h, int8_t *out) {
+    Solver tmp = *(Solver *)h;
+    tmp.unfold(0);
+    for (u32 u = 0; u < tmp.n_org; ++u)
+        out[u] = tmp.S[u];
+}
+
 void mwvc_get_solution(void *h, int8_t *out) {
     auto *s = (Solver *)h;
     for (u32 u = 0; u < s->n_org; ++u)

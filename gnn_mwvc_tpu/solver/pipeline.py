@@ -159,6 +159,8 @@ def solve(
     verbose: bool = False,
     scorer=None,
     seed_step_size: int = 1 << 16,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_interval: float = 60.0,
 ) -> SolveResult:
     t_start = time.perf_counter()
     if g.n == 0:
@@ -203,6 +205,7 @@ def solve(
 
     t2 = time.perf_counter()
     t_best = t2
+    last_ckpt = t2
     step_size = seed_step_size
     while time_gnn + (time.perf_counter() - t2) < time_limit:
         remaining = time_limit - time_gnn - (time.perf_counter() - t2)
@@ -214,6 +217,18 @@ def solve(
                     f"{time_gnn + (t_best - t2):.2f},"
                     f"{ls.best_cost + initial_cost}, step size {step_size}"
                 )
+            if (checkpoint_path
+                    and t_best - last_ckpt >= checkpoint_interval):
+                from gnn_mwvc_tpu.graphio import cover_cost as _cc
+                from gnn_mwvc_tpu.solver.checkpoint import save_checkpoint
+
+                core.apply_cover(snap.ids, ls.best())
+                full = (core.preview_solution() == 1).astype(np.int8)
+                save_checkpoint(
+                    checkpoint_path, g, full, _cc(g, full),
+                    time_gnn + (t_best - t2),
+                )
+                last_ckpt = t_best
         else:
             step_size = max(step_size // 2, 1 << 10)
 
