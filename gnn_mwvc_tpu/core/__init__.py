@@ -5,5 +5,6 @@ from gnn_mwvc_tpu.core.api import (  # noqa: F401
     approx_cover,
     greedy_cover,
     baseline_solve,
+    bfs_order,
     lib_path,
 )

@@ -76,6 +76,9 @@ def _load():
                 "mwvc_snapshot": ([c, u32p, u32p, u64p, u32p, u64p, u32p],
                                   ct.c_uint32),
                 "mwvc_solve_small_components": ([c, ct.c_uint32], ct.c_uint32),
+                "mwvc_bulk_r1": ([c, u32p, ct.c_uint32], ct.c_uint32),
+                "mwvc_bfs_order": ([ct.c_uint32, u64p, u32p, u32p], None),
+                "mwvc_bulk_twins": ([c, u32p, ct.c_uint32], ct.c_uint32),
                 "mwvc_peel": ([c, u32p, f32p, ct.c_uint64, ct.c_int,
                                ct.c_uint32], ct.c_uint64),
                 "mwvc_labels_from_model": ([c], ct.c_uint64),
@@ -208,6 +211,14 @@ class CoreSolver:
         if n_act == 0:
             indptr[0] = 0
         return Snapshot(ids, wts, nw, deg, indptr, indices)
+
+    def bulk_r1(self, ids):
+        ids = np.ascontiguousarray(ids, dtype=np.uint32)
+        return int(self._lib.mwvc_bulk_r1(self._h, ids, len(ids)))
+
+    def bulk_twins(self, pairs):
+        pairs = np.ascontiguousarray(pairs, dtype=np.uint32).reshape(-1)
+        return int(self._lib.mwvc_bulk_twins(self._h, pairs, len(pairs) // 2))
 
     def solve_small_components(self, limit=75):
         return int(self._lib.mwvc_solve_small_components(self._h, limit))
@@ -348,3 +359,14 @@ def baseline_solve(which, weights, edges, seed=1, cutoff=10.0, cc_mode=3):
         cc_mode, vc, _ct.byref(tbest),
     )
     return int(cost), vc, float(tbest.value)
+
+
+def bfs_order(indptr, indices):
+    """Pseudo-Cuthill-McKee vertex order; returns perm (old ids, new order)."""
+    lib = _load()
+    n = len(indptr) - 1
+    indptr = np.ascontiguousarray(indptr, dtype=np.uint64)
+    indices = np.ascontiguousarray(indices, dtype=np.uint32)
+    perm = np.empty(n, dtype=np.uint32)
+    lib.mwvc_bfs_order(n, indptr, indices, perm)
+    return perm

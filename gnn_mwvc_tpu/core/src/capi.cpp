@@ -82,6 +82,50 @@ u32 mwvc_snapshot(void *h, u32 *ids, u32 *wts, u64 *nw, u32 *deg, u64 *indptr,
     return k;
 }
 
+// Bulk-apply rule-1 (neighborhood reduction) candidates from a device
+// prepass: each id is re-verified against live state (NW <= W, active)
+// before applying, so stale device masks are safe.  Returns #applied.
+u32 mwvc_bulk_r1(void *h, const u32 *ids, u32 k) {
+    auto *s = (Solver *)h;
+    u32 applied = 0;
+    for (u32 i = 0; i < k; ++i) {
+        u32 u = ids[i];
+        if (u >= s->g.size() || !s->g.active[u])
+            continue;
+        if (s->g.nw[u] <= s->g.w[u]) {
+            s->cnt.r[0] += s->g.deg[u] + 1;
+            s->select_neighborhood(u);
+            applied++;
+        }
+    }
+    return applied;
+}
+
+// Bulk-verify + fold twin candidate groups from the device twin-hash pass.
+// pairs: flattened (u, v) candidate pairs; each is re-checked with the exact
+// is_twin predicate before folding.  Returns #folds.
+u32 mwvc_bulk_twins(void *h, const u32 *pairs, u32 npairs) {
+    auto *s = (Solver *)h;
+    u32 applied = 0;
+    for (u32 i = 0; i < npairs; ++i) {
+        u32 u = pairs[2 * i], v = pairs[2 * i + 1];
+        if (u >= s->g.size() || v >= s->g.size())
+            continue;
+        if (!s->g.active[u] || !s->g.active[v])
+            continue;
+        if (s->g.is_twin(u, v)) {
+            s->cnt.r[1] += 1;
+            s->g.fold_twin(u, v);
+            s->wl.push(u);
+            for (u32 e = s->g.first(u); !s->g.at_end(u, e);
+                 e = s->g.arena[e].next)
+                s->wl.push(s->g.arena[e].nbr);
+            applied++;
+        }
+    }
+    return applied;
+}
+
 u32 mwvc_solve_small_components(void *h, u32 limit) {
     return ((Solver *)h)->solve_small_components(limit);
 }
@@ -157,6 +201,48 @@ void mwvc_ls_get_best(void *h, uint8_t *out) {
     auto *ls = (LocalSearch *)h;
     for (u32 i = 0; i < ls->n; ++i)
         out[i] = ls->best_s[i];
+}
+
+// Locality-improving vertex order: BFS from a min-degree root, neighbors
+// visited in degree order (pseudo Cuthill-McKee).  Fills perm with old ids
+// in new order; disconnected pieces appended from fresh min-degree roots.
+void mwvc_bfs_order(u32 n, const u64 *indptr, const u32 *indices, u32 *perm) {
+    std::vector<uint8_t> visited(n, 0);
+    std::vector<u32> order;
+    order.reserve(n);
+    std::vector<u32> by_deg(n);
+    for (u32 i = 0; i < n; ++i)
+        by_deg[i] = i;
+    std::sort(by_deg.begin(), by_deg.end(), [&](u32 a, u32 b) {
+        return indptr[a + 1] - indptr[a] < indptr[b + 1] - indptr[b];
+    });
+    std::vector<u32> q, nbrs;
+    for (u32 root : by_deg) {
+        if (visited[root])
+            continue;
+        visited[root] = 1;
+        q.push_back(root);
+        size_t head = order.size();
+        order.push_back(root);
+        while (head < order.size()) {
+            u32 u = order[head++];
+            nbrs.clear();
+            for (u64 k = indptr[u]; k < indptr[u + 1]; ++k) {
+                u32 v = indices[k];
+                if (!visited[v]) {
+                    visited[v] = 1;
+                    nbrs.push_back(v);
+                }
+            }
+            std::sort(nbrs.begin(), nbrs.end(), [&](u32 a, u32 b) {
+                return indptr[a + 1] - indptr[a] < indptr[b + 1] - indptr[b];
+            });
+            for (u32 v : nbrs)
+                order.push_back(v);
+        }
+    }
+    for (u32 i = 0; i < n; ++i)
+        perm[i] = order[i];
 }
 
 // ---- standalone heuristics ------------------------------------------------

@@ -80,6 +80,22 @@ class Graph:
         keep = rows < self.indices
         return np.stack([rows[keep], self.indices[keep]], axis=1)
 
+    def reorder(self, perm: np.ndarray) -> "Graph":
+        """Relabel vertices: perm[i] = old id placed at new position i.
+
+        Used with a BFS/Cuthill-McKee order to give neighbor ids locality
+        (enables the windowed MXU aggregation path, ops/blocked.py).
+        """
+        perm = np.asarray(perm, dtype=np.int64)
+        inv = np.empty(self.n, dtype=np.int64)
+        inv[perm] = np.arange(self.n)
+        e = self.edge_array()
+        e2 = np.sort(
+            np.stack([inv[e[:, 0]], inv[e[:, 1]]], axis=1), axis=1
+        )
+        e2 = e2[np.lexsort((e2[:, 1], e2[:, 0]))]
+        return Graph(self.weights[perm], e2)
+
     def __repr__(self) -> str:
         return f"Graph(n={self.n}, m={self.m})"
 
@@ -133,6 +149,7 @@ class DeviceGraph:
     node_mask: np.ndarray = None  # (n_pad,) bool
     edge_mask: np.ndarray = None  # (e_pad,) bool
     ell: object = None            # EllPlan or None
+    blocked: object = None        # BlockedPlan or None (windowed MXU path)
 
     @staticmethod
     def build(
@@ -143,6 +160,8 @@ class DeviceGraph:
         min_nodes: int = 128,
         min_edges: int = 1024,
         with_ell: bool = True,
+        aggregation: str = "ell",
+        blocked_min_quality: float = 0.25,
     ) -> "DeviceGraph":
         n = int(len(weights))
         e = int(len(indices))
@@ -171,8 +190,19 @@ class DeviceGraph:
         edge_mask = np.zeros(e_pad, dtype=bool)
         edge_mask[:e] = True
 
+        # aggregation plan selection: "blocked"/"auto" tries the windowed MXU
+        # plan first (wins on locality-ordered graphs), falling back to ELL
+        # when window occupancy is too low; "ell" / "scatter" are explicit.
         ell = None
-        if with_ell:
+        blocked = None
+        if aggregation in ("blocked", "auto"):
+            from gnn_mwvc_tpu.ops.blocked import build_blocked
+
+            cand = build_blocked(np.asarray(indptr), np.asarray(indices),
+                                 n_pad)
+            if aggregation == "blocked" or cand.quality >= blocked_min_quality:
+                blocked = cand
+        if blocked is None and with_ell and aggregation != "scatter":
             from gnn_mwvc_tpu.ops.aggregate import build_ell
 
             ell = build_ell(np.asarray(indptr), np.asarray(indices), n_pad)
@@ -180,6 +210,7 @@ class DeviceGraph:
             n=n, n_pad=n_pad, e=e, e_pad=e_pad,
             row=row, col=col, weights=w, degrees=d, nw=nw,
             node_mask=node_mask, edge_mask=edge_mask, ell=ell,
+            blocked=blocked,
         )
 
     @staticmethod

@@ -76,17 +76,23 @@ def graph_layer(
     compat: bool = True,
     ell=None,
     agg: jnp.ndarray | None = None,
+    blocked=None,
 ) -> jnp.ndarray:
     """One message-passing round over a padded graph.
 
     Aggregation strategy, fastest first: a precomputed ``agg`` (the analytic
     first-layer shortcut — when x == W/ws the neighbor sum is exactly NW/ws),
+    the windowed MXU block plan (locality-ordered graphs, ops/blocked.py),
     the multi-level ELL plan (gather + tree sums, see ops/aggregate.py), or
     the sorted-COO scatter fallback (fine on CPU, pathological on TPU).
     """
     n_pad, w = x.shape
     if agg is None:
-        if ell is not None:
+        if blocked is not None:
+            from gnn_mwvc_tpu.ops.blocked import blocked_segment_sum
+
+            agg = blocked_segment_sum(x, blocked)
+        elif ell is not None:
             from gnn_mwvc_tpu.ops.aggregate import ell_segment_sum
 
             agg = ell_segment_sum(x, ell)
@@ -149,6 +155,7 @@ def forward(
             h = graph_layer(
                 h, dg.row, dg.col, dg.degrees, dg.weights, dg.nw,
                 weight_scale, compat=compat, ell=dg.ell, agg=agg,
+                blocked=dg.blocked,
             )
             first_graph = False
         else:

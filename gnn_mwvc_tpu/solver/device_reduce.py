@@ -1,0 +1,73 @@
+"""Device-guided bulk reduction prepass.
+
+Evaluates whole-graph rule candidate masks on device (ops/rules.py) and
+bulk-applies them through the host core, which re-verifies every candidate
+against live state before committing — device masks are hints, exactness
+stays host-owned.  This front-loads the O(E) share of the reduction work
+(rule 1 removals and twin folds typically dominate rule fires on large
+instances) before the fine-grained worklist engine runs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from gnn_mwvc_tpu.core import CoreSolver
+from gnn_mwvc_tpu.graph import DeviceGraph
+
+__all__ = ["device_reduce_prepass"]
+
+
+def device_reduce_prepass(core: CoreSolver, max_rounds: int = 4,
+                          min_nodes: int = 50_000, device=None) -> dict:
+    """Run mask->bulk-apply rounds until yield drops; returns stats."""
+    import jax
+    import jax.numpy as jnp
+
+    from gnn_mwvc_tpu.ops.rules import rule_masks, twin_groups
+
+    stats = {"rounds": 0, "r1_applied": 0, "twins_applied": 0}
+    for _ in range(max_rounds):
+        if core.active_count < min_nodes:
+            break
+        snap = core.snapshot()
+        dg = DeviceGraph.build(
+            snap.weights, snap.indptr.astype(np.int64),
+            snap.indices.astype(np.int64), with_ell=False,
+        )
+        with jax.default_device(device) if device else _null():
+            masks = rule_masks(
+                jnp.asarray(dg.row), jnp.asarray(dg.col),
+                jnp.asarray(dg.weights), jnp.asarray(dg.degrees),
+                jnp.asarray(dg.nw), jnp.asarray(dg.node_mask),
+            )
+            r1 = np.asarray(masks["r1"])[: snap.n]
+            keys = np.asarray(masks["twin_key"])[: snap.n]
+
+        applied = 0
+        r1_ids = snap.ids[np.nonzero(r1)[0]]
+        applied += core.bulk_r1(r1_ids)
+        stats["r1_applied"] += applied
+
+        groups = twin_groups(keys, np.ones(snap.n, bool))
+        pairs = []
+        for grp in groups:
+            anchor = snap.ids[grp[0]]
+            for other in grp[1:]:
+                pairs.append((anchor, snap.ids[other]))
+        if pairs:
+            t = core.bulk_twins(np.asarray(pairs, dtype=np.uint32))
+            stats["twins_applied"] += t
+            applied += t
+        stats["rounds"] += 1
+        if applied < max(100, core.active_count // 1000):
+            break
+    return stats
+
+
+class _null:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False

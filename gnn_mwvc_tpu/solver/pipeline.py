@@ -74,6 +74,9 @@ class GnnScorer:
             snap.indptr.astype(np.int64),
             snap.indices.astype(np.int64),
             with_ell=use_tpu,
+            # TPU: windowed MXU plan when the ordering has locality, else
+            # ELL; CPU: plain scatter segment-sum is fine and compiles fast.
+            aggregation="auto" if use_tpu else "scatter",
         )
         dev = self._tpu_dev if use_tpu else self._cpu_dev
         with jax.default_device(dev):
@@ -161,11 +164,22 @@ def solve(
     seed_step_size: int = 1 << 16,
     checkpoint_path: Optional[str] = None,
     checkpoint_interval: float = 60.0,
+    reorder: bool = False,
 ) -> SolveResult:
     t_start = time.perf_counter()
     if g.n == 0:
         return SolveResult(np.zeros(0, np.int8), 0, 0, 0.0, 0.0, 0.0, 0, 0,
                            np.zeros(8, np.uint64))
+
+    g_orig = g
+    perm = None
+    if reorder:
+        # BFS/Cuthill-McKee relabel for device-aggregation locality; the
+        # solution is mapped back to original ids at the end.
+        from gnn_mwvc_tpu.core import bfs_order
+
+        perm = bfs_order(g.indptr, g.indices)
+        g = g.reorder(perm)
 
     weight_scale = float(g.weights.max())
     scorer = scorer or GnnScorer(model)
@@ -182,14 +196,21 @@ def solve(
     if verbose:
         print(f"GNN-VC done in {time_gnn:.3f}s, cost: {cost_gnn}")
 
+    def _unperm(sol):
+        if perm is None:
+            return sol
+        out = np.empty_like(sol)
+        out[perm] = sol
+        return out
+
     if core.active_count == 0:
         core.unfold(0)
         sol = core.solution()
         assert (sol >= 0).all()
         total = time.perf_counter() - t_start
         return SolveResult(
-            sol.astype(np.int8), core.cost, core.cost, time_gnn, time_gnn,
-            total, kernel_size, initial_cost, core.counters,
+            _unperm(sol.astype(np.int8)), core.cost, core.cost, time_gnn,
+            time_gnn, total, kernel_size, initial_cost, core.counters,
         )
 
     # ---- phase 2: local search over the kernel --------------------------
@@ -223,9 +244,9 @@ def solve(
                 from gnn_mwvc_tpu.solver.checkpoint import save_checkpoint
 
                 core.apply_cover(snap.ids, ls.best())
-                full = (core.preview_solution() == 1).astype(np.int8)
+                full = _unperm((core.preview_solution() == 1).astype(np.int8))
                 save_checkpoint(
-                    checkpoint_path, g, full, _cc(g, full),
+                    checkpoint_path, g_orig, full, _cc(g_orig, full),
                     time_gnn + (t_best - t2),
                 )
                 last_ckpt = t_best
@@ -241,7 +262,7 @@ def solve(
     assert (sol >= 0).all()
     total = time.perf_counter() - t_start
     return SolveResult(
-        sol.astype(np.int8),
+        _unperm(sol.astype(np.int8)),
         core.cost,
         min(ls.best_seen + initial_cost, core.cost),
         time_gnn + (t_best - t2),
