@@ -91,7 +91,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from gnn_mwvc_tpu.core import bfs_order
+    from gnn_mwvc_tpu.core import cluster_order
     from gnn_mwvc_tpu.graph import DeviceGraph
     from gnn_mwvc_tpu.models import load_pretrained
     from gnn_mwvc_tpu.models.gnn import Model, forward
@@ -99,7 +99,7 @@ def main():
     g = build_road_graph(side)
     ref = measure_reference(g)  # measured on the pre-reorder graph (same E)
 
-    perm = bfs_order(g.indptr, g.indices)
+    perm = cluster_order(g.indptr, g.indices)
     g = g.reorder(perm)
     dg = DeviceGraph.from_graph(g, aggregation="auto")
     model = load_pretrained()

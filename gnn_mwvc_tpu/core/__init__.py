@@ -6,5 +6,6 @@ from gnn_mwvc_tpu.core.api import (  # noqa: F401
     greedy_cover,
     baseline_solve,
     bfs_order,
+    cluster_order,
     lib_path,
 )

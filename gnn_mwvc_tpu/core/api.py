@@ -27,6 +27,9 @@ f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
 
 
 def _build() -> str:
+    override = os.environ.get("MWVC_CORE_LIB")
+    if override:  # e.g. a sanitizer build (core/sanitize.sh)
+        return override
     srcs = [os.path.join(_SRC, "capi.cpp")]
     hdrs = [
         os.path.join(_SRC, h)
@@ -78,6 +81,8 @@ def _load():
                 "mwvc_solve_small_components": ([c, ct.c_uint32], ct.c_uint32),
                 "mwvc_bulk_r1": ([c, u32p, ct.c_uint32], ct.c_uint32),
                 "mwvc_bfs_order": ([ct.c_uint32, u64p, u32p, u32p], None),
+                "mwvc_cluster_order": ([ct.c_uint32, u64p, u32p, ct.c_uint32,
+                                        u32p], None),
                 "mwvc_bulk_twins": ([c, u32p, ct.c_uint32], ct.c_uint32),
                 "mwvc_peel": ([c, u32p, f32p, ct.c_uint64, ct.c_int,
                                ct.c_uint32], ct.c_uint64),
@@ -369,4 +374,15 @@ def bfs_order(indptr, indices):
     indices = np.ascontiguousarray(indices, dtype=np.uint32)
     perm = np.empty(n, dtype=np.uint32)
     lib.mwvc_bfs_order(n, indptr, indices, perm)
+    return perm
+
+
+def cluster_order(indptr, indices, cluster_size=128):
+    """Window-locality vertex order: chained BFS balls of cluster_size."""
+    lib = _load()
+    n = len(indptr) - 1
+    indptr = np.ascontiguousarray(indptr, dtype=np.uint64)
+    indices = np.ascontiguousarray(indices, dtype=np.uint32)
+    perm = np.empty(n, dtype=np.uint32)
+    lib.mwvc_cluster_order(n, indptr, indices, cluster_size, perm)
     return perm

@@ -495,27 +495,48 @@ class Solver {
     }
 
     // ---- unfold (reference: mwvc_reductions.hpp:74-96) ------------------
+    // Beyond the reference: unfolding a fold whose deciding node is still
+    // undecided restores the structure and reverts the fold's upfront cost
+    // instead of asserting (the reference's unfold is UB in that state);
+    // this makes reduce+unfold round-trips usable for explore/restart.
     void unfold(u64 t) {
         while (g.timestamp() > t) {
             const LogEntry &le = g.log.back();
             if (le.type == Act::TwinFold) {
-                assert(S[le.u] != -1 && S[le.v] == -1);
-                S[le.v] = S[le.u];
+                assert(S[le.v] == -1);
+                if (S[le.u] != -1)
+                    S[le.v] = S[le.u];
             } else if (le.type == Act::IsoFold) {
                 assert(S[le.u] == -1);
-                int8_t any_out = 0;
+                bool any_decided = false, any_out = false,
+                     all_decided = true;
                 for (u32 e = g.first(le.u); !g.at_end(le.u, e);
-                     e = g.arena[e].next)
-                    if (S[g.arena[e].nbr] == 0)
-                        any_out = 1;
-                S[le.u] = any_out;
+                     e = g.arena[e].next) {
+                    int8_t sv = S[g.arena[e].nbr];
+                    if (sv == -1)
+                        all_decided = false;
+                    else
+                        any_decided = true;
+                    if (sv == 0)
+                        any_out = true;
+                }
+                if (any_decided) {
+                    assert(all_decided);
+                    S[le.u] = any_out ? 1 : 0;
+                } else {
+                    cost -= g.w[le.u] * g.deg[le.u];  // revert upfront pay
+                }
             } else if (le.type == Act::NbhdFold) {
                 u32 z = le.v;
-                assert(z == S.size() - 1 && S[z] != -1);
-                S[le.u] = S[z] ? 0 : 1;
-                for (u32 e = g.first(le.u); !g.at_end(le.u, e);
-                     e = g.arena[e].next)
-                    S[g.arena[e].nbr] = S[z];
+                assert(z == S.size() - 1);
+                if (S[z] != -1) {
+                    S[le.u] = S[z] ? 0 : 1;
+                    for (u32 e = g.first(le.u); !g.at_end(le.u, e);
+                         e = g.arena[e].next)
+                        S[g.arena[e].nbr] = S[z];
+                } else {
+                    cost -= g.w[le.u];  // revert upfront pay
+                }
                 S.pop_back();
                 wl.shrink();
             }

@@ -174,11 +174,11 @@ def solve(
     g_orig = g
     perm = None
     if reorder:
-        # BFS/Cuthill-McKee relabel for device-aggregation locality; the
-        # solution is mapped back to original ids at the end.
-        from gnn_mwvc_tpu.core import bfs_order
+        # clustered relabel for device-aggregation locality; the solution is
+        # mapped back to original ids at the end.
+        from gnn_mwvc_tpu.core import cluster_order
 
-        perm = bfs_order(g.indptr, g.indices)
+        perm = cluster_order(g.indptr, g.indices)
         g = g.reorder(perm)
 
     weight_scale = float(g.weights.max())

@@ -60,20 +60,20 @@ def test_blocked_agg_random_graph_correct_but_low_quality():
     np.testing.assert_allclose(agg, exact_agg(g, x), rtol=1e-5, atol=1e-4)
 
 
-def test_bfs_reorder_improves_quality():
-    g = geo_graph(50, 4)
-    # scramble, then recover locality with BFS order
+def test_cluster_reorder_improves_quality():
+    from gnn_mwvc_tpu.core import cluster_order
+
+    g = geo_graph(120, 4)  # big enough that windows can't cover everything
     rng = np.random.default_rng(5)
-    scramble = rng.permutation(g.n)
-    g_scrambled = g.reorder(scramble)
+    g_scrambled = g.reorder(rng.permutation(g.n))
     n_pad = -(-g.n // 128) * 128
     q_scrambled = build_blocked(
         g_scrambled.indptr, g_scrambled.indices, n_pad
     ).quality
-    perm = bfs_order(g_scrambled.indptr, g_scrambled.indices)
+    perm = cluster_order(g_scrambled.indptr, g_scrambled.indices)
     g_fixed = g_scrambled.reorder(perm)
     q_fixed = build_blocked(g_fixed.indptr, g_fixed.indices, n_pad).quality
-    assert q_fixed > q_scrambled * 2
+    assert q_fixed > q_scrambled
     assert q_fixed > 0.5
 
 
