@@ -149,6 +149,11 @@ class WvcBaseline {
             } else {
                 dscore[nb] += edge_w[e];
                 valid_score[nb] -= (i64)g.w[v];
+                // DynWVC: a cover neighbor that now uniquely covers nothing
+                // is removed immediately (its valid_score hit -w).
+                if (strat == DYNWVC2 && !must_in[nb] &&
+                    valid_score[nb] == -(i64)g.w[nb])
+                    remove(nb);
             }
         }
     }

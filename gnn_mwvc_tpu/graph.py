@@ -161,7 +161,7 @@ class DeviceGraph:
         min_edges: int = 1024,
         with_ell: bool = True,
         aggregation: str = "ell",
-        blocked_min_quality: float = 0.25,
+        blocked_min_quality: float = 0.05,
     ) -> "DeviceGraph":
         n = int(len(weights))
         e = int(len(indices))

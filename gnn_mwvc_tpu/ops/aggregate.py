@@ -105,6 +105,12 @@ def _build_level(counts: np.ndarray, offsets: np.ndarray, item_ids: np.ndarray,
     chunk_bucket = _bucket_of(np.maximum(chunk_len, 1), buckets)
 
     # --- bucket-concatenated positions --------------------------------------
+    # Table row counts are padded to geometric size buckets so recurring
+    # snapshots of similar size produce identical jit shapes (bounds TPU
+    # recompiles across peel rounds); padding rows reference the zero
+    # sentinel and are never read by later levels.
+    from gnn_mwvc_tpu.graph import bucket_size
+
     tables = []
     chunk_pos = np.empty(total_chunks, dtype=np.int64)
     base = 0
@@ -117,9 +123,12 @@ def _build_level(counts: np.ndarray, offsets: np.ndarray, item_ids: np.ndarray,
         valid = np.arange(K)[None, :] < chunk_len[sel][:, None]
         safe_ids = item_ids if len(item_ids) else np.zeros(1, dtype=np.int64)
         tbl = np.where(valid, safe_ids[np.minimum(idx, len(safe_ids) - 1)], n_in)
-        tables.append((K, tbl.astype(np.int32)))
+        r_pad = bucket_size(r, minimum=8, growth=1.3)
+        tbl_p = np.full((r_pad, K), n_in, dtype=np.int32)
+        tbl_p[:r] = tbl
+        tables.append((K, tbl_p))
         chunk_pos[sel] = base + np.arange(r)
-        base += r
+        base += r_pad
 
     return tables, n_chunks_per_row, chunk_pos, first_chunk
 

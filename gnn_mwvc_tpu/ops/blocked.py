@@ -116,7 +116,10 @@ def build_blocked(indptr: np.ndarray, indices: np.ndarray,
         key = r * (e + 1) + cpos // size
         uniq, chunk_of = np.unique(key, return_inverse=True)
         n_chunks = len(uniq)
-        n_pad_chunks = max(8, -(-max(n_chunks, 1) // 8) * 8)
+        # geometric bucket so recurring snapshot sizes hit the jit cache
+        from gnn_mwvc_tpu.graph import bucket_size
+
+        n_pad_chunks = bucket_size(max(n_chunks, 1), minimum=8, growth=1.3)
         sw = np.zeros(n_pad_chunks, dtype=np.int32)
         dw = np.full(n_pad_chunks, n_win, dtype=np.int32)
         ls = np.zeros((n_pad_chunks, size), dtype=np.int32)

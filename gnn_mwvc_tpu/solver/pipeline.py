@@ -124,6 +124,7 @@ def gnn_peel(
     relable_interval: int = -1,
     component_limit: int = 75,
     verbose: bool = False,
+    metrics=None,
 ):
     """Phase 1; returns (timestamp_of_kernel, kernel_size, initial_cost)."""
     core.reduce()
@@ -141,14 +142,27 @@ def gnn_peel(
         if core.active_count == 0:
             break
         snap = core.snapshot()
+        t0 = time.perf_counter()
         prob = scorer(snap, weight_scale)
+        t_score = time.perf_counter() - t0
         order = confidence_order(prob, snap.weights, snap.deg)
         core.reset_label_count()
         if verbose:
             print(f"Remaining nodes: {core.active_count}", end="\r",
                   flush=True)
+        n_before = core.active_count
+        t0 = time.perf_counter()
         core.peel(snap.ids[order], prob[order].astype(np.float32),
                   relable_interval)
+        if metrics is not None:
+            metrics.record_round(
+                nodes_remaining=core.active_count,
+                edges_scored=int(snap.indptr[-1]) if snap.n else 0,
+                decisions=n_before - core.active_count,
+                label_count=core.label_count,
+                seconds_score=round(t_score, 4),
+                seconds_peel=round(time.perf_counter() - t0, 4),
+            )
     if t_kernel is None:
         t_kernel = core.timestamp
     return t_kernel, kernel_size, initial_cost
@@ -165,6 +179,7 @@ def solve(
     checkpoint_path: Optional[str] = None,
     checkpoint_interval: float = 60.0,
     reorder: bool = False,
+    metrics=None,
 ) -> SolveResult:
     t_start = time.perf_counter()
     if g.n == 0:
@@ -187,7 +202,7 @@ def solve(
     core = CoreSolver(g.weights, g.edge_array())
     t_kernel, kernel_size, initial_cost = gnn_peel(
         core, lambda s, ws=weight_scale: scorer(s, ws), weight_scale,
-        relable_interval, verbose=verbose,
+        relable_interval, verbose=verbose, metrics=metrics,
     )
     # rewind the peel decisions; they remain in S as the initial cover
     core.unfold(t_kernel)

@@ -83,10 +83,14 @@ def test_device_graph_auto_aggregation():
     assert dg.blocked is not None  # locality-ordered -> blocked plan chosen
     from tests.conftest import random_graph
 
-    # big sparse random graph: no locality -> low window occupancy -> ELL
+    # multi-size chunks keep blocked viable even without locality (8-slot
+    # chunks amortize the window fetch over 8 edges); explicit "ell" still
+    # selects the gather path
     g2 = random_graph(60_000, 6, seed=7)
     dg2 = DeviceGraph.from_graph(g2, aggregation="auto")
-    assert dg2.blocked is None and dg2.ell is not None  # fallback
+    assert dg2.blocked is not None
+    dg3 = DeviceGraph.from_graph(g2, aggregation="ell")
+    assert dg3.blocked is None and dg3.ell is not None
 
 
 def test_forward_with_blocked_matches_ell(ex3_graph):
