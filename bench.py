@@ -29,7 +29,7 @@ import time
 
 import numpy as np
 
-REFERENCE_EDGES_PER_S = 7.86e6  # fallback; see module docstring
+REFERENCE_EDGES_PER_S = 4.78e6  # fallback (road workload); see docstring
 ORACLE = "/tmp/gnn_mwvc_oracle/bench_predict"
 BENCH_GRAPH_CACHE = "/tmp/gnn_mwvc_oracle/bench_road_{n}.metis"
 
