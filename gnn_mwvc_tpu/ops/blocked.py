@@ -38,7 +38,8 @@ CHUNK_SIZES = (128, 32, 8)  # slot sizes, large to small
 @dataclasses.dataclass
 class BlockedPlan:
     n_pad: int = dataclasses.field(metadata=dict(static=True))
-    n_win: int = dataclasses.field(metadata=dict(static=True))
+    n_win: int = dataclasses.field(metadata=dict(static=True))       # dst windows
+    n_src_win: int = dataclasses.field(default=0, metadata=dict(static=True))
     # per size class: (C_s,) src/dst windows + (C_s, S) local ids
     src_win: tuple = ()
     dst_win: tuple = ()
@@ -48,18 +49,29 @@ class BlockedPlan:
 
 
 def build_blocked(indptr: np.ndarray, indices: np.ndarray,
-                  n_pad: int) -> BlockedPlan:
-    """Host prep for one CSR snapshot (rows = destinations)."""
+                  n_pad: int, n_src: int | None = None,
+                  as_numpy: bool = False) -> BlockedPlan:
+    """Host prep for one CSR snapshot (rows = destinations).
+
+    n_src: size of the source id space when it differs from the destination
+    rows (the sharded case: destinations are one shard's rows, sources index
+    the all-gathered global feature block).
+    """
     n = len(indptr) - 1
     e = len(indices)
     n_win = -(-n_pad // WIN)
+    n_src_win = n_win if n_src is None else -(-n_src // WIN)
+    wrap = (lambda a: a) if as_numpy else jnp.asarray
     if e == 0:
-        z = jnp.zeros(8, jnp.int32)
+        z = np.zeros(8, np.int32)
         return BlockedPlan(
-            n_pad=n_pad, n_win=n_win,
-            src_win=(z,) * len(CHUNK_SIZES), dst_win=(z,) * len(CHUNK_SIZES),
-            lsrc=tuple(jnp.zeros((8, s), jnp.int32) for s in CHUNK_SIZES),
-            ldst=tuple(jnp.full((8, s), WIN, jnp.int32) for s in CHUNK_SIZES),
+            n_pad=n_pad, n_win=n_win, n_src_win=n_src_win,
+            src_win=tuple(wrap(z) for _ in CHUNK_SIZES),
+            dst_win=tuple(wrap(np.full(8, n_win, np.int32))
+                          for _ in CHUNK_SIZES),
+            lsrc=tuple(wrap(np.zeros((8, s), np.int32)) for s in CHUNK_SIZES),
+            ldst=tuple(wrap(np.full((8, s), WIN, np.int32))
+                       for s in CHUNK_SIZES),
             quality=1.0,
         )
 
@@ -67,7 +79,7 @@ def build_blocked(indptr: np.ndarray, indices: np.ndarray,
     dst = np.repeat(np.arange(n, dtype=np.int64), deg)
     src = np.asarray(indices, dtype=np.int64)
 
-    pair = (dst // WIN) * n_win + (src // WIN)
+    pair = (dst // WIN) * n_src_win + (src // WIN)
     order = np.argsort(pair, kind="stable")
     pair_s = pair[order]
     dst_s = dst[order]
@@ -132,15 +144,15 @@ def build_blocked(indptr: np.ndarray, indices: np.ndarray,
             ld[chunk_of, slot] = (d % WIN).astype(np.int32)
         # keep dst_win sorted: order chunks by dw (padding = n_win at end)
         ordc = np.argsort(dw, kind="stable")
-        src_wins.append(jnp.asarray(sw[ordc]))
-        dst_wins.append(jnp.asarray(dw[ordc]))
-        lsrcs.append(jnp.asarray(ls[ordc]))
-        ldsts.append(jnp.asarray(ld[ordc]))
+        src_wins.append(wrap(sw[ordc]))
+        dst_wins.append(wrap(dw[ordc]))
+        lsrcs.append(wrap(ls[ordc]))
+        ldsts.append(wrap(ld[ordc]))
         total_slots += n_chunks * size
 
     quality = float(e) / float(max(total_slots, 1))
     return BlockedPlan(
-        n_pad=n_pad, n_win=n_win,
+        n_pad=n_pad, n_win=n_win, n_src_win=n_src_win,
         src_win=tuple(src_wins), dst_win=tuple(dst_wins),
         lsrc=tuple(lsrcs), ldst=tuple(ldsts),
         quality=quality,
@@ -148,9 +160,9 @@ def build_blocked(indptr: np.ndarray, indices: np.ndarray,
 
 
 def _class_partials(xw, src_win, dst_win, lsrc, ldst, dtype,
-                    chunk_batch=8192):
-    """One size class -> (n_win, WIN, w) aggregated window partials."""
-    n_win = xw.shape[0]
+                    n_dst_win, chunk_batch=8192):
+    """One size class -> (n_dst_win, WIN, w) aggregated window partials."""
+    n_win = n_dst_win
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, WIN), 2)
 
     def do_batch(args):
@@ -192,18 +204,26 @@ def _class_partials(xw, src_win, dst_win, lsrc, ldst, dtype,
     )[:n_win]
 
 
-def blocked_segment_sum(x: jnp.ndarray, plan: BlockedPlan) -> jnp.ndarray:
-    """agg[u] = sum over v in N(u) of x[v], via windowed MXU matmuls."""
+def blocked_segment_sum(x: jnp.ndarray, plan: BlockedPlan,
+                        n_out: int | None = None) -> jnp.ndarray:
+    """agg[u] = sum over v in N(u) of x[v], via windowed MXU matmuls.
+
+    x indexes the source space (n_src_win windows); the output has
+    plan.n_win * WIN rows sliced to n_out (defaults to len(x), the
+    single-device case where src and dst spaces coincide).
+    """
     w = x.shape[1]
-    n_win = plan.n_win
-    pad_rows = n_win * WIN - x.shape[0]
-    xw = jnp.pad(x, ((0, pad_rows), (0, 0))).reshape(n_win, WIN, w)
+    n_src_win = plan.n_src_win or plan.n_win
+    pad_rows = n_src_win * WIN - x.shape[0]
+    xw = jnp.pad(x, ((0, pad_rows), (0, 0))).reshape(n_src_win, WIN, w)
 
     agg = None
     for i in range(len(plan.src_win)):
         part = _class_partials(
             xw, plan.src_win[i], plan.dst_win[i], plan.lsrc[i],
-            plan.ldst[i], x.dtype,
+            plan.ldst[i], x.dtype, n_dst_win=plan.n_win,
         )
         agg = part if agg is None else agg + part
-    return agg.reshape(n_win * WIN, -1)[: x.shape[0]]
+    if n_out is None:
+        n_out = x.shape[0]
+    return agg.reshape(plan.n_win * WIN, -1)[:n_out]

@@ -52,13 +52,27 @@ class ShardedGraph:
     degrees: jnp.ndarray = None   # (P, n_loc) f32
     nw: jnp.ndarray = None        # (P, n_loc) f32
     node_mask: jnp.ndarray = None  # (P, n_loc) bool
+    # optional stacked per-shard windowed-MXU plans (see ops/blocked.py):
+    # tuples of (P, C_s) / (P, C_s, S) arrays per chunk-size class
+    blk_src_win: tuple = None
+    blk_dst_win: tuple = None
+    blk_lsrc: tuple = None
+    blk_ldst: tuple = None
+    blk_n_win: int = dataclasses.field(default=0, metadata=dict(static=True))
+    blk_n_src_win: int = dataclasses.field(default=0,
+                                           metadata=dict(static=True))
 
     @property
     def parts(self) -> int:
         return self.row_loc.shape[0]
 
+    @property
+    def has_blocked(self) -> bool:
+        return self.blk_src_win is not None
 
-def partition_device_graph(dg: DeviceGraph, parts: int) -> ShardedGraph:
+
+def partition_device_graph(dg: DeviceGraph, parts: int,
+                           aggregation: str = "scatter") -> ShardedGraph:
     """Split a DeviceGraph into *parts* contiguous node ranges.
 
     Edges go to the shard owning their destination; per-shard edge slots are
@@ -98,16 +112,60 @@ def partition_device_graph(dg: DeviceGraph, parts: int) -> ShardedGraph:
             d[p, :cnt] = dg.degrees[nlo:nhi]
             nw[p, :cnt] = dg.nw[nlo:nhi]
             mask[p, :cnt] = dg.node_mask[nlo:nhi]
+    blk = {}
+    if aggregation == "blocked":
+        # per-shard windowed plans over the all-gathered source space,
+        # padded to common shapes so one shard_map program serves all shards
+        from gnn_mwvc_tpu.ops.blocked import build_blocked
+
+        n_src = parts * n_loc
+        plans = []
+        for p in range(parts):
+            lo, hi = offsets[p], offsets[p + 1]
+            rl = rows_sorted[lo:hi] - p * n_loc
+            cl = cols_sorted[lo:hi]
+            # local CSR (rows sorted within shard by construction)
+            loc_indptr = np.zeros(n_loc + 1, dtype=np.int64)
+            np.add.at(loc_indptr, rl + 1, 1)
+            np.cumsum(loc_indptr, out=loc_indptr)
+            plans.append(build_blocked(loc_indptr, cl, n_loc, n_src=n_src,
+                                       as_numpy=True))
+        ncls = len(plans[0].src_win)
+        stk = {k: [] for k in ("sw", "dw", "ls", "ld")}
+        for c in range(ncls):
+            cmax = max(pl.src_win[c].shape[0] for pl in plans)
+            size = plans[0].lsrc[c].shape[1]
+            n_win = plans[0].n_win
+            sw = np.zeros((parts, cmax), np.int32)
+            dw = np.full((parts, cmax), n_win, np.int32)
+            ls = np.zeros((parts, cmax, size), np.int32)
+            ld = np.full((parts, cmax, size), 128, np.int32)
+            for p, pl in enumerate(plans):
+                cc = pl.src_win[c].shape[0]
+                sw[p, :cc] = pl.src_win[c]
+                dw[p, :cc] = pl.dst_win[c]
+                ls[p, :cc] = pl.lsrc[c]
+                ld[p, :cc] = pl.ldst[c]
+            stk["sw"].append(jnp.asarray(sw))
+            stk["dw"].append(jnp.asarray(dw))
+            stk["ls"].append(jnp.asarray(ls))
+            stk["ld"].append(jnp.asarray(ld))
+        blk = dict(
+            blk_src_win=tuple(stk["sw"]), blk_dst_win=tuple(stk["dw"]),
+            blk_lsrc=tuple(stk["ls"]), blk_ldst=tuple(stk["ld"]),
+            blk_n_win=plans[0].n_win, blk_n_src_win=plans[0].n_src_win,
+        )
     return ShardedGraph(
         n=dg.n, n_loc=n_loc, e_loc=e_loc,
         row_loc=jnp.asarray(row_loc), col=jnp.asarray(col),
         weights=jnp.asarray(w), degrees=jnp.asarray(d), nw=jnp.asarray(nw),
-        node_mask=jnp.asarray(mask),
+        node_mask=jnp.asarray(mask), **blk,
     )
 
 
 def _layer_stack(kinds, params, x, row_loc, col, deg, w, nw, ws, n_loc,
-                 compat=True, precision=jax.lax.Precision.HIGHEST):
+                 compat=True, precision=jax.lax.Precision.HIGHEST,
+                 blocked_plan=None):
     """Shared layer walk; runs inside shard_map (axis name "graph")."""
     h = x
     for kind, p in zip(kinds, params):
@@ -120,13 +178,18 @@ def _layer_stack(kinds, params, x, row_loc, col, deg, w, nw, ws, n_loc,
             h = jnp.maximum(h, 0)
         elif kind == "sigmoid":
             h = jax.nn.sigmoid(h)
-        else:  # graph layer: halo all-gather + local segment sum
+        else:  # graph layer: halo all-gather + local aggregation
             width = h.shape[1]
             h_full = jax.lax.all_gather(h, "graph", axis=0, tiled=True)
-            agg = jax.ops.segment_sum(
-                h_full.take(col, axis=0), row_loc,
-                num_segments=n_loc + 1, indices_are_sorted=True,
-            )[:n_loc]
+            if blocked_plan is not None:
+                from gnn_mwvc_tpu.ops.blocked import blocked_segment_sum
+
+                agg = blocked_segment_sum(h_full, blocked_plan, n_out=n_loc)
+            else:
+                agg = jax.ops.segment_sum(
+                    h_full.take(col, axis=0), row_loc,
+                    num_segments=n_loc + 1, indices_are_sorted=True,
+                )[:n_loc]
             stats = jnp.stack([deg, w / ws, nw / ws], axis=1).astype(h.dtype)
             if compat:
                 out = jnp.concatenate(
@@ -149,32 +212,69 @@ _SG_SPECS = (
 
 def make_sharded_forward(kinds, mesh: Mesh, compat: bool = True,
                          precision=jax.lax.Precision.HIGHEST):
-    """Build a jitted sharded scorer: (params, sg, ws) -> (P, n_loc) scores."""
+    """Build a jitted sharded scorer: (params, sg, ws) -> (P, n_loc) scores.
 
-    def local_fwd(params, row_loc, col, w, d, nw, ws):
-        row_loc, col = row_loc[0], col[0]          # strip shard axis
-        w, d, nw = w[0], d[0], nw[0]
-        n_loc = w.shape[0]
-        x = (w / ws).reshape(-1, 1)
-        h = _layer_stack(kinds, params, x, row_loc, col, d, w, nw, ws, n_loc,
-                         compat=compat, precision=precision)
-        return h[:, 0][None]
+    When the ShardedGraph carries per-shard windowed plans (partition with
+    aggregation="blocked"), each shard aggregates with MXU one-hot matmuls
+    instead of a scatter.
+    """
+    cache = {}
 
-    smap = jax.shard_map(
-        local_fwd,
-        mesh=mesh,
-        in_specs=(P(),) + _SG_SPECS + (P(),),
-        out_specs=P("graph", None),
-        check_vma=False,
-    )
+    def get_fn(has_blocked, n_win, n_src_win, ncls):
+        key = (has_blocked, n_win, n_src_win, ncls)
+        if key in cache:
+            return cache[key]
 
-    @jax.jit
-    def fwd(params, row_loc, col, w, d, nw, ws):
-        return smap(params, row_loc, col, w, d, nw, jnp.float32(ws))
+        def local_fwd(params, core, blk, ws):
+            row_loc, col, w, d, nw = (a[0] for a in core)
+            n_loc = w.shape[0]
+            plan = None
+            if has_blocked:
+                from gnn_mwvc_tpu.ops.blocked import BlockedPlan
+
+                plan = BlockedPlan(
+                    n_pad=n_loc, n_win=n_win, n_src_win=n_src_win,
+                    src_win=tuple(a[0] for a in blk[0]),
+                    dst_win=tuple(a[0] for a in blk[1]),
+                    lsrc=tuple(a[0] for a in blk[2]),
+                    ldst=tuple(a[0] for a in blk[3]),
+                )
+            x = (w / ws).reshape(-1, 1)
+            h = _layer_stack(kinds, params, x, row_loc, col, d, w, nw, ws,
+                             n_loc, compat=compat, precision=precision,
+                             blocked_plan=plan)
+            return h[:, 0][None]
+
+        if has_blocked:
+            blk_spec = (
+                tuple(P("graph", None) for _ in range(ncls)),
+                tuple(P("graph", None) for _ in range(ncls)),
+                tuple(P("graph", None, None) for _ in range(ncls)),
+                tuple(P("graph", None, None) for _ in range(ncls)),
+            )
+        else:
+            blk_spec = ()
+        smap = jax.shard_map(
+            local_fwd,
+            mesh=mesh,
+            in_specs=(P(), (P("graph", None),) * 5, blk_spec, P()),
+            out_specs=P("graph", None),
+            check_vma=False,
+        )
+        fn = jax.jit(smap)
+        cache[key] = fn
+        return fn
 
     def scorer(params, sg: ShardedGraph, ws):
-        return fwd(params, sg.row_loc, sg.col, sg.weights, sg.degrees,
-                   sg.nw, ws)
+        core = (sg.row_loc, sg.col, sg.weights, sg.degrees, sg.nw)
+        if sg.has_blocked:
+            blk = (sg.blk_src_win, sg.blk_dst_win, sg.blk_lsrc, sg.blk_ldst)
+            fn = get_fn(True, sg.blk_n_win, sg.blk_n_src_win,
+                        len(sg.blk_src_win))
+        else:
+            blk = ()
+            fn = get_fn(False, 0, 0, 0)
+        return fn(params, core, blk, jnp.float32(ws))
 
     return scorer
 

@@ -76,3 +76,22 @@ def test_sharded_train_step_runs(mesh8, rnd_graph):
     assert np.isfinite(float(loss))
     params2, _, loss2 = step(params, opt_state, sg, y, ws)
     assert float(loss2) < float(loss)  # one SGD step reduces full-batch loss
+
+
+def test_sharded_blocked_matches_single(mesh8, rnd_graph):
+    """Per-shard windowed MXU aggregation == single-chip scores."""
+    from tests.test_blocked import geo_graph
+
+    g = geo_graph(40, 3)
+    dg = DeviceGraph.from_graph(g)
+    m = load_pretrained()
+    ws = float(g.weights.max())
+    single = np.asarray(score_graph(m, dg, ws))[: g.n]
+
+    sg = partition_device_graph(dg, 8, aggregation="blocked")
+    assert sg.has_blocked
+    fwd = make_sharded_forward(m.kinds, mesh8)
+    out = np.asarray(fwd(m.params, sg, ws)).reshape(-1)
+    mask = np.asarray(sg.node_mask).reshape(-1)
+    sharded = out[mask][: g.n]
+    np.testing.assert_allclose(sharded, single, atol=1e-5)
