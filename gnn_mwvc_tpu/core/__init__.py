@@ -7,5 +7,8 @@ from gnn_mwvc_tpu.core.api import (  # noqa: F401
     baseline_solve,
     bfs_order,
     cluster_order,
+    pair_order,
+    blocked_pack,
+    relabel_csr,
     lib_path,
 )

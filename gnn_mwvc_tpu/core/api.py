@@ -83,6 +83,13 @@ def _load():
                 "mwvc_bfs_order": ([ct.c_uint32, u64p, u32p, u32p], None),
                 "mwvc_cluster_order": ([ct.c_uint32, u64p, u32p, ct.c_uint32,
                                         u32p], None),
+                "mwvc_pair_order": ([ct.c_uint32, u64p, u32p, ct.c_uint32,
+                                     u64p], None),
+                "mwvc_relabel_csr": ([ct.c_uint32, u64p, u32p, u32p, u64p,
+                                      u32p], None),
+                "mwvc_blocked_pack": ([ct.c_uint32, u64p, u32p, u64p,
+                                       ct.c_uint32, u64p, ct.c_int]
+                                      + [u32p] * 12, None),
                 "mwvc_bulk_twins": ([c, u32p, ct.c_uint32], ct.c_uint32),
                 "mwvc_peel": ([c, u32p, f32p, ct.c_uint64, ct.c_int,
                                ct.c_uint32], ct.c_uint64),
@@ -386,3 +393,52 @@ def cluster_order(indptr, indices, cluster_size=128):
     perm = np.empty(n, dtype=np.uint32)
     lib.mwvc_cluster_order(n, indptr, indices, cluster_size, perm)
     return perm
+
+
+def pair_order(indptr, indices, win=128):
+    """Edge positions stable-sorted by (dst window, src window)."""
+    lib = _load()
+    n = len(indptr) - 1
+    indptr = np.ascontiguousarray(indptr, dtype=np.uint64)
+    indices = np.ascontiguousarray(indices, dtype=np.uint32)
+    order = np.empty(int(indptr[-1]), dtype=np.uint64)
+    lib.mwvc_pair_order(n, indptr, indices, win, order)
+    return order.astype(np.int64)
+
+
+def blocked_pack(indptr, indices, order, win, fill_arrays=None):
+    """One-pass chunk packing for the windowed plan.
+
+    Without fill_arrays: returns chunk counts (3,).  With fill_arrays
+    (list of 12 preallocated arrays sw0,dw0,ls0,ld0,...), fills them.
+    """
+    lib = _load()
+    n = len(indptr) - 1
+    indptr = np.ascontiguousarray(indptr, dtype=np.uint64)
+    indices = np.ascontiguousarray(indices, dtype=np.uint32)
+    order = np.ascontiguousarray(order, dtype=np.uint64)
+    counts = np.zeros(3, dtype=np.uint64)
+    dummy = np.zeros(1, dtype=np.uint32)
+    arrs = fill_arrays if fill_arrays is not None else [dummy] * 12
+    flat = [np.ascontiguousarray(a.reshape(-1), dtype=np.uint32)
+            if a.ndim > 1 else a for a in arrs]
+    lib.mwvc_blocked_pack(n, indptr, indices, order, win, counts,
+                          1 if fill_arrays is not None else 0, *flat)
+    if fill_arrays is not None:
+        for a, f in zip(arrs, flat):
+            if a.ndim > 1:
+                a[...] = f.reshape(a.shape)
+    return counts.astype(np.int64)
+
+
+def relabel_csr(indptr, indices, perm):
+    """CSR under a vertex permutation; returns (indptr2, indices2)."""
+    lib = _load()
+    n = len(indptr) - 1
+    indptr = np.ascontiguousarray(indptr, dtype=np.uint64)
+    indices = np.ascontiguousarray(indices, dtype=np.uint32)
+    perm = np.ascontiguousarray(perm, dtype=np.uint32)
+    out_indptr = np.empty(n + 1, dtype=np.uint64)
+    out_indices = np.empty(len(indices), dtype=np.uint32)
+    lib.mwvc_relabel_csr(n, indptr, indices, perm, out_indptr, out_indices)
+    return out_indptr.astype(np.int64), out_indices.astype(np.int64)

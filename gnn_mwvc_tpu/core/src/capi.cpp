@@ -305,6 +305,128 @@ void mwvc_cluster_order(u32 n, const u64 *indptr, const u32 *indices,
         perm[i] = order[i];
 }
 
+// Edge order for the windowed aggregation plan: stable-sort edge positions
+// by (dst_window, src_window).  Destination windows are contiguous in a
+// dst-sorted CSR, so this is a cheap segmented sort (cache-local, no global
+// argsort) — the host-prep hot path of ops/blocked.py.
+void mwvc_pair_order(u32 n, const u64 *indptr, const u32 *indices, u32 win,
+                     u64 *order_out) {
+    u64 e = indptr[n];
+    for (u64 i = 0; i < e; ++i)
+        order_out[i] = i;
+    for (u32 w0 = 0; w0 < n; w0 += win) {
+        u32 w1 = std::min(n, w0 + win);
+        u64 lo = indptr[w0], hi = indptr[w1];
+        std::stable_sort(order_out + lo, order_out + hi,
+                         [&](u64 a, u64 b) {
+                             return indices[a] / win < indices[b] / win;
+                         });
+    }
+}
+
+// Single-pass packer for the windowed aggregation plan (ops/blocked.py):
+// walks the (dst-window, src-window)-sorted edge order once, splitting each
+// window-pair run into 128/32/8-slot chunks.  Pass 1 (fill == 0) returns the
+// chunk counts per class; pass 2 fills the preallocated chunk arrays.
+// Padding slots must be pre-initialized by the caller (dw = n_win, ld = win).
+void mwvc_blocked_pack(u32 n, const u64 *indptr, const u32 *indices,
+                       const u64 *order, u32 win, u64 counts_out[3],
+                       int fill,
+                       u32 *sw0, u32 *dw0, u32 *ls0, u32 *ld0,
+                       u32 *sw1, u32 *dw1, u32 *ls1, u32 *ld1,
+                       u32 *sw2, u32 *dw2, u32 *ls2, u32 *ld2) {
+    const u32 SIZES[3] = {128, 32, 8};
+    u32 *SW[3] = {sw0, sw1, sw2};
+    u32 *DW[3] = {dw0, dw1, dw2};
+    u32 *LS[3] = {ls0, ls1, ls2};
+    u32 *LD[3] = {ld0, ld1, ld2};
+    u64 e = indptr[n];
+    // dst row per edge position: walk rows to map positions -> dst
+    std::vector<u32> dst_of(e);
+    for (u32 u = 0; u < n; ++u)
+        for (u64 k = indptr[u]; k < indptr[u + 1]; ++k)
+            dst_of[k] = u;
+
+    u64 c[3] = {0, 0, 0};
+    u64 i = 0;
+    while (i < e) {
+        u64 p0 = order[i];
+        u32 dw = dst_of[p0] / win, sw = indices[p0] / win;
+        u64 j = i;
+        while (j < e && dst_of[order[j]] / win == dw &&
+               indices[order[j]] / win == sw)
+            ++j;
+        u64 k = j - i;  // run length
+        u64 n128 = k / 128, rem = k % 128;
+        u64 mid = rem > 8 ? std::min<u64>(rem, 32) : 0;
+        u64 small = rem - mid;
+        u64 n8 = (small + 7) / 8;
+        if (fill) {
+            u64 pos = i;
+            for (u64 t = 0; t < n128; ++t, pos += 128) {
+                u64 ci = c[0] + t;
+                SW[0][ci] = sw;
+                DW[0][ci] = dw;
+                for (u32 q = 0; q < 128; ++q) {
+                    u64 pp = order[pos + q];
+                    LS[0][ci * 128 + q] = indices[pp] % win;
+                    LD[0][ci * 128 + q] = dst_of[pp] % win;
+                }
+            }
+            if (mid) {
+                u64 ci = c[1];
+                SW[1][ci] = sw;
+                DW[1][ci] = dw;
+                for (u64 q = 0; q < mid; ++q) {
+                    u64 pp = order[pos + q];
+                    LS[1][ci * 32 + q] = indices[pp] % win;
+                    LD[1][ci * 32 + q] = dst_of[pp] % win;
+                }
+                pos += mid;
+            }
+            for (u64 t = 0; t < n8; ++t) {
+                u64 ci = c[2] + t;
+                SW[2][ci] = sw;
+                DW[2][ci] = dw;
+                u64 take = std::min<u64>(8, small - t * 8);
+                for (u64 q = 0; q < take; ++q) {
+                    u64 pp = order[pos + q];
+                    LS[2][ci * 8 + q] = indices[pp] % win;
+                    LD[2][ci * 8 + q] = dst_of[pp] % win;
+                }
+                pos += take;
+            }
+        }
+        c[0] += n128;
+        c[1] += mid ? 1 : 0;
+        c[2] += n8;
+        i = j;
+    }
+    counts_out[0] = c[0];
+    counts_out[1] = c[1];
+    counts_out[2] = c[2];
+}
+
+// Relabel a CSR under a permutation (perm[i] = old id at new position i):
+// new row i = sorted inv-mapped neighbors of perm[i].  Row-local sorts keep
+// this near memory speed (vs a global edge lexsort in numpy).
+void mwvc_relabel_csr(u32 n, const u64 *indptr, const u32 *indices,
+                      const u32 *perm, u64 *out_indptr, u32 *out_indices) {
+    std::vector<u32> inv(n);
+    for (u32 i = 0; i < n; ++i)
+        inv[perm[i]] = i;
+    out_indptr[0] = 0;
+    for (u32 i = 0; i < n; ++i) {
+        u32 old = perm[i];
+        u64 lo = indptr[old], hi = indptr[old + 1];
+        u64 base = out_indptr[i];
+        for (u64 k = lo; k < hi; ++k)
+            out_indices[base + (k - lo)] = inv[indices[k]];
+        std::sort(out_indices + base, out_indices + base + (hi - lo));
+        out_indptr[i + 1] = base + (hi - lo);
+    }
+}
+
 // ---- standalone heuristics ------------------------------------------------
 u64 mwvc_improve_cover(u32 n, const u32 *w, u64 m, const u32 *eu,
                        const u32 *ev, uint8_t *vc) {

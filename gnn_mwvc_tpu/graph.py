@@ -83,18 +83,36 @@ class Graph:
     def reorder(self, perm: np.ndarray) -> "Graph":
         """Relabel vertices: perm[i] = old id placed at new position i.
 
-        Used with a BFS/Cuthill-McKee order to give neighbor ids locality
+        Used with a clustered/BFS order to give neighbor ids locality
         (enables the windowed MXU aggregation path, ops/blocked.py).
         """
         perm = np.asarray(perm, dtype=np.int64)
-        inv = np.empty(self.n, dtype=np.int64)
-        inv[perm] = np.arange(self.n)
-        e = self.edge_array()
-        e2 = np.sort(
-            np.stack([inv[e[:, 0]], inv[e[:, 1]]], axis=1), axis=1
-        )
-        e2 = e2[np.lexsort((e2[:, 1], e2[:, 0]))]
-        return Graph(self.weights[perm], e2)
+        try:
+            from gnn_mwvc_tpu.core import relabel_csr
+
+            indptr2, indices2 = relabel_csr(self.indptr, self.indices, perm)
+            return Graph.from_csr(self.weights[perm], indptr2, indices2)
+        except ImportError:
+            inv = np.empty(self.n, dtype=np.int64)
+            inv[perm] = np.arange(self.n)
+            e = self.edge_array()
+            e2 = np.sort(
+                np.stack([inv[e[:, 0]], inv[e[:, 1]]], axis=1), axis=1
+            )
+            e2 = e2[np.lexsort((e2[:, 1], e2[:, 0]))]
+            return Graph(self.weights[perm], e2)
+
+    @classmethod
+    def from_csr(cls, weights, indptr, indices) -> "Graph":
+        """Construct directly from a symmetric CSR (rows sorted)."""
+        g = cls.__new__(cls)
+        g.weights = np.asarray(weights)
+        g.n = int(len(weights))
+        g.indptr = np.asarray(indptr, dtype=np.int64)
+        g.indices = np.asarray(indices, dtype=np.int64)
+        g.m = int(len(indices) // 2)
+        g._nw = None
+        return g
 
     def __repr__(self) -> str:
         return f"Graph(n={self.n}, m={self.m})"

@@ -75,80 +75,39 @@ def build_blocked(indptr: np.ndarray, indices: np.ndarray,
             quality=1.0,
         )
 
-    deg = np.diff(indptr).astype(np.int64)
-    dst = np.repeat(np.arange(n, dtype=np.int64), deg)
-    src = np.asarray(indices, dtype=np.int64)
-
-    pair = (dst // WIN) * n_src_win + (src // WIN)
-    order = np.argsort(pair, kind="stable")
-    pair_s = pair[order]
-    dst_s = dst[order]
-    src_s = src[order]
-
-    new_pair = np.empty(e, dtype=bool)
-    new_pair[0] = True
-    new_pair[1:] = pair_s[1:] != pair_s[:-1]
-    run_id = np.cumsum(new_pair) - 1
-    run_start = np.zeros(e, dtype=np.int64)
-    run_start[new_pair] = np.nonzero(new_pair)[0]
-    run_start = np.maximum.accumulate(run_start)
-    within = np.arange(e) - run_start
-    run_len = np.zeros(int(run_id[-1]) + 1, dtype=np.int64)
-    np.add.at(run_len, run_id, 1)
-
-    # Assign every edge to a size class based on its position within the run:
-    # full 128-chunks first, then the remainder into the smallest fitting
-    # size (one chunk of 32 and/or chunks of 8).
-    rl = run_len[run_id]
-    rem_start = (rl // CHUNK_SIZES[0]) * CHUNK_SIZES[0]
-    in_large = within < rem_start
-    rem_pos = within - rem_start
-    rem_len = rl - rem_start
-    # remainder splits: first min(rem_len, 32-aligned part)
-    use_mid = (rem_len > CHUNK_SIZES[2])  # remainder > 8 -> use a 32 chunk
-    mid_take = np.where(use_mid, np.minimum(rem_len, CHUNK_SIZES[1]), 0)
-    in_mid = (~in_large) & (rem_pos < mid_take)
-    in_small = (~in_large) & (~in_mid)
-
-    src_wins, dst_wins, lsrcs, ldsts = [], [], [], []
-    total_slots = 0
-    for cls, size in enumerate(CHUNK_SIZES):
-        if cls == 0:
-            sel = in_large
-            cpos = within[sel]
-        elif cls == 1:
-            sel = in_mid
-            cpos = rem_pos[sel]
-        else:
-            sel = in_small
-            cpos = (rem_pos - mid_take)[sel]
-        d, s_ = dst_s[sel], src_s[sel]
-        r = run_id[sel]
-        # chunk id within class: (run, cpos // size) — enumerate compactly
-        key = r * (e + 1) + cpos // size
-        uniq, chunk_of = np.unique(key, return_inverse=True)
-        n_chunks = len(uniq)
-        # geometric bucket so recurring snapshot sizes hit the jit cache
+    # Segmented stable sort by (dst window, src window) + one-pass chunk
+    # packing, both in the native core (numpy fancy-indexing passes over
+    # tens of millions of edges dominate otherwise).
+    try:
+        from gnn_mwvc_tpu.core import blocked_pack, pair_order
         from gnn_mwvc_tpu.graph import bucket_size
 
-        n_pad_chunks = bucket_size(max(n_chunks, 1), minimum=8, growth=1.3)
-        sw = np.zeros(n_pad_chunks, dtype=np.int32)
-        dw = np.full(n_pad_chunks, n_win, dtype=np.int32)
-        ls = np.zeros((n_pad_chunks, size), dtype=np.int32)
-        ld = np.full((n_pad_chunks, size), WIN, dtype=np.int32)
-        if len(d):
-            slot = (cpos % size).astype(np.int64)
-            sw[chunk_of] = (s_ // WIN).astype(np.int32)
-            dw[chunk_of] = (d // WIN).astype(np.int32)
-            ls[chunk_of, slot] = (s_ % WIN).astype(np.int32)
-            ld[chunk_of, slot] = (d % WIN).astype(np.int32)
-        # keep dst_win sorted: order chunks by dw (padding = n_win at end)
-        ordc = np.argsort(dw, kind="stable")
-        src_wins.append(wrap(sw[ordc]))
-        dst_wins.append(wrap(dw[ordc]))
-        lsrcs.append(wrap(ls[ordc]))
-        ldsts.append(wrap(ld[ordc]))
-        total_slots += n_chunks * size
+        order = pair_order(indptr, indices, WIN)
+        counts = blocked_pack(indptr, indices, order, WIN)
+        src_wins, dst_wins, lsrcs, ldsts = [], [], [], []
+        arrs = []
+        for cls, size in enumerate(CHUNK_SIZES):
+            cpad = bucket_size(max(int(counts[cls]), 1), minimum=8,
+                               growth=1.3)
+            sw = np.zeros(cpad, dtype=np.uint32)
+            dw = np.full(cpad, n_win, dtype=np.uint32)
+            ls = np.zeros((cpad, size), dtype=np.uint32)
+            ld = np.full((cpad, size), WIN, dtype=np.uint32)
+            arrs += [sw, dw, ls, ld]
+        blocked_pack(indptr, indices, order, WIN, fill_arrays=arrs)
+        total_slots = sum(
+            int(counts[c]) * CHUNK_SIZES[c] for c in range(len(CHUNK_SIZES))
+        )
+        for cls in range(len(CHUNK_SIZES)):
+            sw, dw, ls, ld = arrs[cls * 4: cls * 4 + 4]
+            src_wins.append(wrap(sw.astype(np.int32)))
+            dst_wins.append(wrap(dw.astype(np.int32)))
+            lsrcs.append(wrap(ls.astype(np.int32)))
+            ldsts.append(wrap(ld.astype(np.int32)))
+    except ImportError:  # pure-python fallback
+        src_wins, dst_wins, lsrcs, ldsts, total_slots = _build_numpy(
+            indptr, indices, n, e, n_win, n_src_win, wrap
+        )
 
     quality = float(e) / float(max(total_slots, 1))
     return BlockedPlan(
@@ -227,3 +186,78 @@ def blocked_segment_sum(x: jnp.ndarray, plan: BlockedPlan,
     if n_out is None:
         n_out = x.shape[0]
     return agg.reshape(plan.n_win * WIN, -1)[:n_out]
+
+
+def _build_numpy(indptr, indices, n, e, n_win, n_src_win, wrap):
+    """Pure-numpy plan construction (no native core available)."""
+    from gnn_mwvc_tpu.graph import bucket_size
+
+    deg = np.diff(indptr).astype(np.int64)
+    dst = np.repeat(np.arange(n, dtype=np.int64), deg)
+    src = np.asarray(indices, dtype=np.int64)
+    order = np.argsort((dst // WIN) * n_src_win + (src // WIN),
+                       kind="stable")
+    dst_s = dst[order]
+    src_s = src[order]
+    dw_s = dst_s // WIN
+    sw_s = src_s // WIN
+    new_pair = np.empty(e, dtype=bool)
+    new_pair[0] = True
+    new_pair[1:] = (dw_s[1:] != dw_s[:-1]) | (sw_s[1:] != sw_s[:-1])
+    run_id = np.cumsum(new_pair) - 1
+    starts = np.nonzero(new_pair)[0]
+    run_len = np.diff(np.append(starts, e))
+    within = np.arange(e) - starts[run_id]
+
+    rl = run_len[run_id]
+    rem_start = (rl // CHUNK_SIZES[0]) * CHUNK_SIZES[0]
+    in_large = within < rem_start
+    rem_pos = within - rem_start
+    rem_len = rl - rem_start
+    use_mid = (rem_len > CHUNK_SIZES[2])
+    mid_take = np.where(use_mid, np.minimum(rem_len, CHUNK_SIZES[1]), 0)
+    in_mid = (~in_large) & (rem_pos < mid_take)
+    in_small = (~in_large) & (~in_mid)
+
+    src_wins, dst_wins, lsrcs, ldsts = [], [], [], []
+    total_slots = 0
+    for cls, size in enumerate(CHUNK_SIZES):
+        if cls == 0:
+            sel = in_large
+            cpos = within[sel]
+        elif cls == 1:
+            sel = in_mid
+            cpos = rem_pos[sel]
+        else:
+            sel = in_small
+            cpos = (rem_pos - mid_take)[sel]
+        d, s_ = dst_s[sel], src_s[sel]
+        r = run_id[sel]
+        key = r * (e + 1) + cpos // size
+        if len(key):
+            newc = np.empty(len(key), dtype=bool)
+            newc[0] = True
+            newc[1:] = key[1:] != key[:-1]
+            chunk_of = np.cumsum(newc) - 1
+            n_chunks = int(chunk_of[-1]) + 1
+        else:
+            chunk_of = key.astype(np.int64)
+            n_chunks = 0
+        n_pad_chunks = bucket_size(max(n_chunks, 1), minimum=8, growth=1.3)
+        sw = np.zeros(n_pad_chunks, dtype=np.int32)
+        dw = np.full(n_pad_chunks, n_win, dtype=np.int32)
+        ls = np.zeros((n_pad_chunks, size), dtype=np.int32)
+        ld = np.full((n_pad_chunks, size), WIN, dtype=np.int32)
+        if len(d):
+            slot = (cpos % size).astype(np.int64)
+            sw[chunk_of] = (s_ // WIN).astype(np.int32)
+            dw[chunk_of] = (d // WIN).astype(np.int32)
+            ls[chunk_of, slot] = (s_ % WIN).astype(np.int32)
+            ld[chunk_of, slot] = (d % WIN).astype(np.int32)
+        ordc = np.argsort(dw, kind="stable")
+        src_wins.append(wrap(sw[ordc]))
+        dst_wins.append(wrap(dw[ordc]))
+        lsrcs.append(wrap(ls[ordc]))
+        ldsts.append(wrap(ld[ordc]))
+        total_slots += n_chunks * size
+    return src_wins, dst_wins, lsrcs, ldsts, total_slots
