@@ -77,7 +77,15 @@ class WvcBaseline {
     CsrGraph g;
     std::mt19937 rng;
     Strategy strat;
-    bool cc_mode, forget_mode;
+    // FastWVC always uses configuration checking in its add rule
+    // (reference: other_solvers/FastWVC/mwvc.h:423,462,481 — unconditional);
+    // the CLI "CC mode" bit only gates the conf-reset on uncovered endpoints
+    // inside UpdateEdgeWeight (mwvc.h:766–770).  DynWVC2 has no conf arrays
+    // at all (other_solvers/DynWVC2/mwvc.h).  mode/2 enables edge-weight
+    // forgetting in both (mwvc.h:775).
+    bool conf_on_uncovered, forget_mode;
+
+    bool use_cc() const { return strat == FASTWVC; }
 
     std::vector<uint8_t> in_c, best_c, conf, tabu, must_in;
     std::vector<i64> dscore, valid_score;
@@ -92,7 +100,7 @@ class WvcBaseline {
     WvcBaseline(u32 n, const u32 *wt, u64 m, const u32 *eu, const u32 *ev,
                 u32 seed, Strategy s, int cc)
         : g(n, wt, m, eu, ev), rng(seed), strat(s),
-          cc_mode(cc % 2 == 1), forget_mode(cc / 2 == 1) {
+          conf_on_uncovered(cc % 2 == 1), forget_mode(cc / 2 == 1) {
         in_c.assign(n, 0);
         best_c.assign(n, 0);
         conf.assign(n, 1);
@@ -142,7 +150,7 @@ class WvcBaseline {
             u32 nb = g.nbr[k], e = g.eid[k];
             if (!in_c[nb]) {
                 dscore[nb] -= edge_w[e];
-                if (cc_mode)
+                if (use_cc())
                     conf[nb] = 1;
                 cover(e);
                 valid_score[v] += g.w[nb];
@@ -168,7 +176,7 @@ class WvcBaseline {
             u32 nb = g.nbr[k], e = g.eid[k];
             if (!in_c[nb]) {
                 dscore[nb] += edge_w[e];
-                if (cc_mode)
+                if (use_cc())
                     conf[nb] = 1;
                 uncover(e);
             } else {
@@ -176,7 +184,7 @@ class WvcBaseline {
                 valid_score[nb] += (i64)g.w[v];
             }
         }
-        if (cc_mode)
+        if (use_cc())
             conf[v] = 0;
     }
 
@@ -244,18 +252,28 @@ class WvcBaseline {
     }
 
     // remove the single cover vertex with the worst weight/|dscore| ratio
-    // (the "target size" shrink both solvers perform each step)
+    // (the "target size" shrink both solvers perform each step).
+    // Reference quirk kept (FastWVC/DynWVC2 mwvc.h UpdateTargetSize): the
+    // scan starts from cand[0]; if cand[0] is redundant (dscore 0) it is
+    // removed without a scan, and a redundant vertex met mid-scan merely
+    // truncates the scan without being selected.  must_in entries are
+    // skipped (NuMWVC pinning; no-op for the plain solvers).
     u32 update_target_size() {
         u32 best_v = UINT32_MAX;
         double best_r = -1.0;
         for (u32 v : cand) {
             if (must_in[v])
                 continue;
-            if (dscore[v] == 0) {
+            if (best_v == UINT32_MAX) {  // the "cand[0]" role
                 best_v = v;
-                break;
+                if (dscore[v] == 0)
+                    break;
+                best_r = (double)g.w[v] / std::abs((double)dscore[v]);
+                continue;
             }
-            double r = (double)g.w[v] / (double)std::abs((double)dscore[v]);
+            if (dscore[v] == 0)
+                break;
+            double r = (double)g.w[v] / std::abs((double)dscore[v]);
             if (r > best_r) {
                 best_r = r;
                 best_v = v;
@@ -263,7 +281,7 @@ class WvcBaseline {
         }
         if (best_v != UINT32_MAX)
             remove(best_v);
-        return best_v == UINT32_MAX ? 0 : best_v;
+        return best_v;
     }
 
     u32 choose_remove_min_valid() {  // DynWVC1 rule
@@ -290,10 +308,10 @@ class WvcBaseline {
             u32 v = pick();
             if (must_in[v] || (use_tabu && tabu[v]))
                 continue;
-            double r_v = (double)g.w[v] /
-                         std::max(1.0, std::abs((double)dscore[v]));
-            double r_rv = (double)g.w[rv] /
-                          std::max(1.0, std::abs((double)dscore[rv]));
+            // plain w/|dscore| as in the reference; dscore 0 -> +inf, so a
+            // redundant vertex wins the tournament outright
+            double r_v = (double)g.w[v] / std::abs((double)dscore[v]);
+            double r_rv = (double)g.w[rv] / std::abs((double)dscore[rv]);
             if (r_v > r_rv || (r_v == r_rv && time_stamp[v] < time_stamp[rv]))
                 rv = v;
         }
@@ -301,14 +319,15 @@ class WvcBaseline {
     }
 
     u32 choose_add() {
-        // best dscore/w endpoint of an uncovered edge (CC-gated)
+        // best dscore/w endpoint of an uncovered edge (CC-gated); used by
+        // the NuMWVC greedy construction, not the FastWVC/DynWVC2 repair
         u32 av = UINT32_MAX;
         double best = -1.0;
         for (u32 e : uncov) {
             for (u32 v : {g.eu[e], g.ev[e]}) {
                 if (in_c[v])
                     continue;
-                if (cc_mode && !conf[v])
+                if (use_cc() && !conf[v])
                     continue;
                 double r = (double)dscore[v] / (double)g.w[v];
                 if (r > best ||
@@ -319,9 +338,66 @@ class WvcBaseline {
                 }
             }
         }
-        if (av == UINT32_MAX && !uncov.empty()) {  // CC deadlock fallback
-            u32 e = uncov[0];
-            av = in_c[g.eu[e]] ? g.ev[e] : g.eu[e];
+        if (av == UINT32_MAX && !uncov.empty())  // CC deadlock fallback
+            av = fallback_uncov_endpoint();
+        return av;
+    }
+
+    u32 fallback_uncov_endpoint() {
+        // safe stand-in for the reference's Add(0)-on-sentinel path (which
+        // adds an out-of-range vertex): guarantee progress by covering the
+        // first uncovered edge, ignoring CC
+        u32 e = uncov[0];
+        return in_c[g.eu[e]] ? g.ev[e] : g.eu[e];
+    }
+
+    // one ChooseAddV candidate probe: strictly-better dscore/w, timestamp
+    // tie-break (reference FastWVC mwvc.h:444–519, DynWVC2 mwvc.h:472–560)
+    void consider_add(u32 v, bool cc_gate, u32 &av, double &best) const {
+        if (v == UINT32_MAX || in_c[v])
+            return;
+        if (cc_gate && !conf[v])
+            return;
+        double r = (double)dscore[v] / (double)g.w[v];
+        if (r > best) {
+            best = r;
+            av = v;
+        } else if (r == best && av != UINT32_MAX &&
+                   time_stamp[v] < time_stamp[av]) {
+            av = v;
+        }
+    }
+
+    // FastWVC repair rule: scan N(remove_v) ∪ {remove_v} ∪ N(update_v) ∪
+    // {update_v}, CC-gated, starting improvement at 0 (so only vertices
+    // that cover at least one uncovered edge qualify)
+    u32 choose_add_fast(u32 remove_v, u32 update_v) {
+        u32 av = UINT32_MAX;
+        double best = 0.0;
+        if (remove_v != UINT32_MAX) {
+            for (u32 k = g.off[remove_v]; k < g.off[remove_v + 1]; ++k)
+                consider_add(g.nbr[k], true, av, best);
+            consider_add(remove_v, true, av, best);
+        }
+        if (update_v != UINT32_MAX) {
+            for (u32 k = g.off[update_v]; k < g.off[update_v + 1]; ++k)
+                consider_add(g.nbr[k], true, av, best);
+            consider_add(update_v, true, av, best);
+        }
+        return av;
+    }
+
+    // DynWVC2 repair rule: scan N(update_v) ∪ N(remove_v) ∪ N(remove_v2),
+    // no CC, the removed vertices themselves are NOT candidates — a removal
+    // cannot be undone within the same repair
+    u32 choose_add_dyn(u32 update_v, u32 remove_v, u32 remove_v2) {
+        u32 av = UINT32_MAX;
+        double best = 0.0;
+        for (u32 src : {update_v, remove_v, remove_v2}) {
+            if (src == UINT32_MAX)
+                continue;
+            for (u32 k = g.off[src]; k < g.off[src + 1]; ++k)
+                consider_add(g.nbr[k], false, av, best);
         }
         return av;
     }
@@ -354,7 +430,7 @@ class WvcBaseline {
             edge_w[e] += 1;
             dscore[g.eu[e]] += 1;
             dscore[g.ev[e]] += 1;
-            if (cc_mode) {
+            if (use_cc() && conf_on_uncovered) {
                 conf[g.eu[e]] = 1;
                 conf[g.ev[e]] = 1;
             }
@@ -371,6 +447,8 @@ class WvcBaseline {
     }
 
     void repair(bool tabu_added) {
+        // generic repair over the uncovered-edge stack (NuMWVC construction
+        // path); the FastWVC/DynWVC2 searches use their restricted rules
         while (!uncov.empty()) {
             u32 av = choose_add();
             if (av == UINT32_MAX)
@@ -393,16 +471,21 @@ class WvcBaseline {
             u64 before = now_weight;
             update_best(clk);
             u32 update_v = update_target_size();
+            if (update_v == UINT32_MAX)
+                return;  // nothing removable
             time_stamp[update_v] = (u32)step;
             if (step % try_step == 0 && clk.elapsed() >= cutoff)
                 return;
 
-            u32 rv;
+            u32 rv, rv2 = UINT32_MAX;
             if (strat == FASTWVC) {
                 rv = choose_remove_tournament(true);
             } else if (no_improve < 5) {
                 rv = choose_remove_min_valid();
             } else {
+                // DynWVC2 strategy switch: after 5 cumulative non-improving
+                // steps run the tournament rule for exactly 2 steps, then
+                // reset the counter (reference DynWVC2/mwvc.h:823–842)
                 if (no_improve == 5)
                     dyn_count = 2;
                 if (dyn_count == 1)
@@ -411,13 +494,13 @@ class WvcBaseline {
                 dyn_count--;
             }
             if (rv == UINT32_MAX)
-                return;  // nothing removable
+                return;
             remove(rv);
             time_stamp[rv] = (u32)step;
 
             if (strat == DYNWVC2 &&
                 g.deg(update_v) + g.deg(rv) < avg_deg) {
-                u32 rv2 = choose_remove_tournament(false);
+                rv2 = choose_remove_tournament(false);
                 if (rv2 != UINT32_MAX) {
                     remove(rv2);
                     time_stamp[rv2] = (u32)step;
@@ -425,14 +508,26 @@ class WvcBaseline {
             }
             if (strat == FASTWVC)
                 std::fill(tabu.begin(), tabu.end(), 0);
-            repair(strat == FASTWVC);
+            while (!uncov.empty()) {
+                u32 av = strat == FASTWVC
+                             ? choose_add_fast(rv, update_v)
+                             : choose_add_dyn(update_v, rv, rv2);
+                if (av == UINT32_MAX)
+                    av = fallback_uncov_endpoint();
+                add(av);
+                update_edge_weights();
+                if (strat == FASTWVC)
+                    tabu[av] = 1;
+                time_stamp[av] = (u32)step;
+            }
             if (strat == FASTWVC)
                 remove_redundant();
             step++;
+            // the no-improvement counter accumulates and is only reset by
+            // the dyn_count==1 path above (reference: DynWVC2/mwvc.h:862
+            // never resets it on improvement)
             if (now_weight >= before)
                 no_improve++;
-            else
-                no_improve = 0;
         }
     }
 };
