@@ -91,6 +91,8 @@ def _load():
                                        ct.c_uint32, u64p, ct.c_int]
                                       + [u32p] * 12, None),
                 "mwvc_bulk_twins": ([c, u32p, ct.c_uint32], ct.c_uint32),
+                "mwvc_bulk_begin": ([c], None),
+                "mwvc_bulk_r5": ([c, u32p, ct.c_uint32], ct.c_uint32),
                 "mwvc_peel": ([c, u32p, f32p, ct.c_uint64, ct.c_int,
                                ct.c_uint32], ct.c_uint64),
                 "mwvc_labels_from_model": ([c], ct.c_uint64),
@@ -231,6 +233,19 @@ class CoreSolver:
     def bulk_twins(self, pairs):
         pairs = np.ascontiguousarray(pairs, dtype=np.uint32).reshape(-1)
         return int(self._lib.mwvc_bulk_twins(self._h, pairs, len(pairs) // 2))
+
+    def begin_bulk_pass(self):
+        """Start a device bulk-apply pass: from here until the pass ends the
+        core tracks which nodes' 1-hop instances drift from the snapshot the
+        device masks were computed on (see bulk_r5)."""
+        self._lib.mwvc_bulk_begin(self._h)
+
+    def bulk_r5(self, ids):
+        """Apply device-proved rule-5 verdicts; clean candidates only (the
+        core skips any candidate whose instance was touched since
+        begin_bulk_pass)."""
+        ids = np.ascontiguousarray(ids, dtype=np.uint32)
+        return int(self._lib.mwvc_bulk_r5(self._h, ids, len(ids)))
 
     def solve_small_components(self, limit=75):
         return int(self._lib.mwvc_solve_small_components(self._h, limit))

@@ -94,9 +94,45 @@ u32 mwvc_bulk_r1(void *h, const u32 *ids, u32 k) {
             continue;
         if (s->g.nw[u] <= s->g.w[u]) {
             s->cnt.r[0] += s->g.deg[u] + 1;
+            s->mark_closed_2hop_dirty(u);
             s->select_neighborhood(u);
             applied++;
         }
+    }
+    return applied;
+}
+
+void mwvc_bulk_begin(void *h) { ((Solver *)h)->begin_bulk_pass(); }
+
+// Bulk-apply rule-5 (neighborhood meta-reduction) verdicts from the device
+// batched exact solver (ops/rules.py r5_candidates).  The device proved
+// W(u) >= NW(u) - VC(N(u)) on the snapshot instance; that proof transfers to
+// live state iff u's 1-hop instance is untouched since the pass began, i.e.
+// u and every current neighbor are clean.  Dirty candidates are skipped —
+// the worklist engine re-derives them later.  Returns #applied.
+u32 mwvc_bulk_r5(void *h, const u32 *ids, u32 k) {
+    auto *s = (Solver *)h;
+    u32 applied = 0;
+    for (u32 i = 0; i < k; ++i) {
+        u32 u = ids[i];
+        if (u >= s->g.size() || !s->g.active[u] ||
+            s->g.deg[u] > MAX_SMALL_SOLVE)
+            continue;
+        if (s->is_dirty(u))
+            continue;
+        bool clean = true;
+        for (u32 e = s->g.first(u); !s->g.at_end(u, e);
+             e = s->g.arena[e].next)
+            if (s->is_dirty(s->g.arena[e].nbr)) {
+                clean = false;
+                break;
+            }
+        if (!clean)
+            continue;
+        s->cnt.r[4] += s->g.deg[u] + 1;
+        s->mark_closed_2hop_dirty(u);
+        s->select_neighborhood(u);
+        applied++;
     }
     return applied;
 }
@@ -115,6 +151,16 @@ u32 mwvc_bulk_twins(void *h, const u32 *pairs, u32 npairs) {
             continue;
         if (s->g.is_twin(u, v)) {
             s->cnt.r[1] += 1;
+            // fold changes w(u), drops v, and shifts every common
+            // neighbor's nw: mark both closed neighborhoods dirty
+            s->mark_dirty(u);
+            s->mark_dirty(v);
+            for (u32 e = s->g.first(u); !s->g.at_end(u, e);
+                 e = s->g.arena[e].next)
+                s->mark_dirty(s->g.arena[e].nbr);
+            for (u32 e = s->g.first(v); !s->g.at_end(v, e);
+                 e = s->g.arena[e].next)
+                s->mark_dirty(s->g.arena[e].nbr);
             s->g.fold_twin(u, v);
             s->wl.push(u);
             for (u32 e = s->g.first(u); !s->g.at_end(u, e);

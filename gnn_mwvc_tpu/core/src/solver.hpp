@@ -217,6 +217,39 @@ class Solver {
 
     u64 labels_from_model = 0, mistakes_from_model = 0;
 
+    // ---- device bulk-apply support (solver/device_reduce.py) -----------
+    // Device rule masks are computed on a snapshot; during the bulk-apply
+    // pass a node whose 1-hop instance may have drifted from that snapshot
+    // is "dirty" and its device verdict can no longer be trusted.  Epoch
+    // tagging makes begin_bulk_pass O(1) amortised.
+    std::vector<u32> bulk_dirty;
+    u32 bulk_epoch = 0;
+
+    void begin_bulk_pass() {
+        if (bulk_dirty.size() < g.size())
+            bulk_dirty.resize(g.size(), 0);
+        ++bulk_epoch;
+    }
+    void mark_dirty(u32 u) {
+        if (u < bulk_dirty.size())
+            bulk_dirty[u] = bulk_epoch;
+    }
+    bool is_dirty(u32 u) const {
+        return u < bulk_dirty.size() && bulk_dirty[u] == bulk_epoch;
+    }
+    // Removing the closed neighborhood of u changes the 1-hop instance of
+    // every neighbor of a removed node: mark the closed 2-hop ball.  Must be
+    // called BEFORE the mutation (walks live adjacency).
+    void mark_closed_2hop_dirty(u32 u) {
+        mark_dirty(u);
+        for (u32 e = g.first(u); !g.at_end(u, e); e = g.arena[e].next) {
+            u32 v = g.arena[e].nbr;
+            mark_dirty(v);
+            for (u32 f = g.first(v); !g.at_end(v, f); f = g.arena[f].next)
+                mark_dirty(g.arena[f].nbr);
+        }
+    }
+
     void init(u32 n, const u32 *weights, u64 m, const u32 *eu, const u32 *ev,
               u32 nrules = NUM_LOCAL_RULES) {
         g.init(n, weights, m, eu, ev);

@@ -18,11 +18,13 @@ are prioritization/bulk-application hints:
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["rule_masks", "twin_hash"]
+__all__ = ["rule_masks", "twin_hash", "build_ell8", "r5_candidates"]
 
 _H1 = np.uint32(0x9E3779B9)
 _H2 = np.uint32(0x85EBCA6B)
@@ -84,6 +86,101 @@ def rule_masks(row, col, weights, degrees, nw, node_mask):
         "dom_edge": dom_edge,
         "iso_cand": iso_cand,
     }
+
+
+def build_ell8(indptr: np.ndarray, indices: np.ndarray, deg: np.ndarray):
+    """First-8-neighbors ELL table (host numpy, vectorized).
+
+    Returns (ell (n+1, 8) int32, valid (n+1, 8) bool); row n is an
+    all-invalid sentinel so device gathers of "no neighbor" slots stay in
+    bounds.  Rows of degree > 8 are truncated — see r5_candidates for why
+    that stays sound.
+    """
+    n = len(deg)
+    k = 8
+    take = indptr[:-1, None] + np.arange(k, dtype=np.int64)[None]
+    valid = np.arange(k)[None] < np.minimum(deg, k)[:, None]
+    if len(indices):
+        cols = indices[np.minimum(take, len(indices) - 1)]
+    else:
+        cols = np.zeros((n, k), np.int64)
+    cols = np.where(valid, cols, n).astype(np.int32)
+    ell = np.concatenate([cols, np.full((1, k), n, np.int32)], 0)
+    ellv = np.concatenate([valid, np.zeros((1, k), bool)], 0)
+    return ell, np.ascontiguousarray(ellv)
+
+
+@functools.partial(jax.jit, static_argnames="chunk")
+def r5_candidates(ell, ellv, weights, nw, deg, node_mask, chunk=4096):
+    """Device-batched rule-5 (neighborhood meta-reduction) verdict mask.
+
+    For every vertex u with deg(u) <= 8, exactly solves MWVC on the N(u)
+    subgraph by enumerating all 2^8 subsets (the TPU-batched analog of the
+    reference's per-vertex small_mwvc_solver call, reference:
+    mwvc_reductions.hpp:235-252) and returns the mask
+    W(u) >= NW(u) - VC(N(u)).
+
+    Soundness under truncation: adjacency among N(u) is reconstructed from
+    the neighbors' own first-8 ELL rows; a neighbor of degree > 8 may have
+    edges omitted.  A missing edge relaxes the instance, so the computed VC
+    is a LOWER bound and the returned condition implies the true rule-5
+    condition — the mask can only under-fire, never mis-fire.
+
+    Arithmetic is int32: the caller must guarantee max NW < 2^31 (the
+    instance cost is bounded by NW(u)); device_reduce_prepass checks this
+    host-side before enabling the rule.
+
+    ell/ellv: (n+1, 8) from build_ell8; weights/nw/deg/node_mask: (n,).
+    """
+    n = weights.shape[0]
+    w_pad = jnp.concatenate(
+        [weights.astype(jnp.int32), jnp.zeros((1,), jnp.int32)]
+    )
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+    pad = n_pad - n
+    cand = node_mask & (deg <= 8)
+    lp = jnp.pad(ell[:n], ((0, pad), (0, 0)), constant_values=n)
+    lv = jnp.pad(ellv[:n], ((0, pad), (0, 0)))
+    wp = jnp.pad(weights.astype(jnp.int32), (0, pad))
+    nwp = jnp.pad(nw.astype(jnp.int32), (0, pad))
+    mp = jnp.pad(cand, (0, pad))
+    nchunks = n_pad // chunk
+
+    def per_chunk(args):
+        loc, locv, w_u, nw_u, m_u = args  # (C,8),(C,8),(C,),(C,),(C,)
+        c = loc.shape[0]
+        nbr_w = w_pad[loc] * locv  # (C,8) int32, invalid slots 0
+        nn = ell[loc]  # (C,8,8): ELL rows of each neighbor
+        nnv = ellv[loc] & locv[:, :, None]
+        # adj[c,i,j]: neighbor i adjacent to neighbor j (either direction)
+        hit = (nn[:, :, None, :] == loc[:, None, :, None]) & nnv[:, :, None, :]
+        adj = hit.any(-1) & locv[:, :, None] & locv[:, None, :]
+        adj = adj | jnp.swapaxes(adj, 1, 2)
+        adjmask = (
+            adj.astype(jnp.int32) << jnp.arange(8, dtype=jnp.int32)[None, None]
+        ).sum(-1)  # (C,8) bitmask over j
+        subsets = jnp.arange(256, dtype=jnp.int32)[None]  # (1,256)
+        cost = jnp.zeros((c, 256), jnp.int32)
+        ok = jnp.ones((c, 256), bool)
+        for j in range(8):
+            chosen = (subsets >> j) & 1
+            aj = adjmask[:, j : j + 1]
+            ok = ok & ((chosen == 1) | ((subsets & aj) == aj))
+            cost = cost + jnp.where(chosen == 1, nbr_w[:, j : j + 1], 0)
+        vc = jnp.where(ok, cost, jnp.int32(2**31 - 1)).min(1)
+        return m_u & (w_u >= nw_u - vc)
+
+    out = jax.lax.map(
+        per_chunk,
+        (
+            lp.reshape(nchunks, chunk, 8),
+            lv.reshape(nchunks, chunk, 8),
+            wp.reshape(nchunks, chunk),
+            nwp.reshape(nchunks, chunk),
+            mp.reshape(nchunks, chunk),
+        ),
+    )
+    return out.reshape(-1)[:n]
 
 
 def twin_groups(keys: np.ndarray, node_mask: np.ndarray):

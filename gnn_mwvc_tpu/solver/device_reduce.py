@@ -19,14 +19,17 @@ __all__ = ["device_reduce_prepass"]
 
 
 def device_reduce_prepass(core: CoreSolver, max_rounds: int = 4,
-                          min_nodes: int = 50_000, device=None) -> dict:
+                          min_nodes: int = 50_000, device=None,
+                          with_r5: bool = True) -> dict:
     """Run mask->bulk-apply rounds until yield drops; returns stats."""
     import jax
     import jax.numpy as jnp
 
-    from gnn_mwvc_tpu.ops.rules import rule_masks, twin_groups
+    from gnn_mwvc_tpu.ops.rules import (build_ell8, r5_candidates,
+                                        rule_masks, twin_groups)
 
-    stats = {"rounds": 0, "r1_applied": 0, "twins_applied": 0}
+    stats = {"rounds": 0, "r1_applied": 0, "twins_applied": 0,
+             "r5_applied": 0}
     for _ in range(max_rounds):
         if core.active_count < min_nodes:
             break
@@ -43,7 +46,26 @@ def device_reduce_prepass(core: CoreSolver, max_rounds: int = 4,
             )
             r1 = np.asarray(masks["r1"])[: snap.n]
             keys = np.asarray(masks["twin_key"])[: snap.n]
+            r5 = None
+            # int32 device arithmetic: only sound when every instance cost
+            # (bounded by NW) fits
+            if with_r5 and (snap.n == 0 or int(snap.nw.max()) < 2**31):
+                ell, ellv = build_ell8(
+                    snap.indptr.astype(np.int64),
+                    snap.indices.astype(np.int64), snap.deg,
+                )
+                r5 = np.asarray(r5_candidates(
+                    jnp.asarray(ell), jnp.asarray(ellv),
+                    jnp.asarray(snap.weights.astype(np.int32)),
+                    jnp.asarray(snap.nw.astype(np.int32)),
+                    jnp.asarray(snap.deg.astype(np.int32)),
+                    jnp.ones(snap.n, bool),
+                ))
 
+        # the device masks describe THIS snapshot; from here on the core
+        # tracks instance drift so r5 verdicts are only applied where the
+        # snapshot proof still holds
+        core.begin_bulk_pass()
         applied = 0
         r1_ids = snap.ids[np.nonzero(r1)[0]]
         applied += core.bulk_r1(r1_ids)
@@ -59,6 +81,14 @@ def device_reduce_prepass(core: CoreSolver, max_rounds: int = 4,
             t = core.bulk_twins(np.asarray(pairs, dtype=np.uint32))
             stats["twins_applied"] += t
             applied += t
+        if r5 is not None:
+            # r1 already covers nw <= w (which includes every deg-0 node);
+            # restrict to the strictly-meta verdicts to keep counters honest
+            r5_ids = snap.ids[np.nonzero(r5 & ~r1)[0]]
+            if len(r5_ids):
+                a5 = core.bulk_r5(r5_ids)
+                stats["r5_applied"] += a5
+                applied += a5
         stats["rounds"] += 1
         if applied < max(100, core.active_count // 1000):
             break
