@@ -93,6 +93,7 @@ def _load():
                 "mwvc_bulk_twins": ([c, u32p, ct.c_uint32], ct.c_uint32),
                 "mwvc_bulk_begin": ([c], None),
                 "mwvc_bulk_r5": ([c, u32p, ct.c_uint32], ct.c_uint32),
+                "mwvc_node_arrays": ([c, u8p, u32p, u64p, u32p], None),
                 "mwvc_peel": ([c, u32p, f32p, ct.c_uint64, ct.c_int,
                                ct.c_uint32], ct.c_uint64),
                 "mwvc_labels_from_model": ([c], ct.c_uint64),
@@ -168,6 +169,11 @@ class CoreSolver:
             self._h = None
 
     # -- state ----------------------------------------------------------
+    @property
+    def n_nodes(self):
+        """Current node-id space size (grows as folds append gadget nodes)."""
+        return int(self._lib.mwvc_n_nodes(self._h))
+
     @property
     def active_count(self):
         return int(self._lib.mwvc_active_count(self._h))
@@ -246,6 +252,19 @@ class CoreSolver:
         begin_bulk_pass)."""
         ids = np.ascontiguousarray(ids, dtype=np.uint32)
         return int(self._lib.mwvc_bulk_r5(self._h, ids, len(ids)))
+
+    def node_arrays(self):
+        """Live (active, w, nw, deg) over the full node-id space [0, size).
+
+        O(n) flat copy — no CSR walk, no compaction; the cheap per-round
+        refresh for sticky scoring (node ids are stable in this core)."""
+        n = self.n_nodes
+        active = np.empty(n, np.uint8)
+        w = np.empty(n, np.uint32)
+        nw = np.empty(n, np.uint64)
+        deg = np.empty(n, np.uint32)
+        self._lib.mwvc_node_arrays(self._h, active, w, nw, deg)
+        return active, w, nw, deg
 
     def solve_small_components(self, limit=75):
         return int(self._lib.mwvc_solve_small_components(self._h, limit))

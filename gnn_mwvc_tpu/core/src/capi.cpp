@@ -104,6 +104,20 @@ u32 mwvc_bulk_r1(void *h, const u32 *ids, u32 k) {
 
 void mwvc_bulk_begin(void *h) { ((Solver *)h)->begin_bulk_pass(); }
 
+// Live per-node state over the full id space [0, size) — O(n) memcpy-grade,
+// no CSR walk.  The sticky-scoring path (solver/static_score.py) refreshes
+// node features each round from this instead of re-snapshotting the graph.
+void mwvc_node_arrays(void *h, uint8_t *active, u32 *w, u64 *nw, u32 *deg) {
+    auto *s = (Solver *)h;
+    u32 n = s->g.size();
+    for (u32 u = 0; u < n; ++u) {
+        active[u] = s->g.active[u] ? 1 : 0;
+        w[u] = (u32)s->g.w[u];
+        nw[u] = (u64)s->g.nw[u];
+        deg[u] = s->g.deg[u];
+    }
+}
+
 // Bulk-apply rule-5 (neighborhood meta-reduction) verdicts from the device
 // batched exact solver (ops/rules.py r5_candidates).  The device proved
 // W(u) >= NW(u) - VC(N(u)) on the snapshot instance; that proof transfers to

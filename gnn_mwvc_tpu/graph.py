@@ -180,13 +180,25 @@ class DeviceGraph:
         with_ell: bool = True,
         aggregation: str = "ell",
         blocked_min_quality: float = 0.05,
+        shape_template: "DeviceGraph | None" = None,
     ) -> "DeviceGraph":
+        """shape_template: build into EXACTLY this DeviceGraph's array shapes
+        and static fields (incl. the reported n/e/plan-quality metadata, which
+        then describe the template, not this graph) so an already-compiled
+        program serves the result — see solver/static_score.py shape-templated
+        rebuilds.  Returns None when the graph does not fit the template."""
         n = int(len(weights))
         e = int(len(indices))
-        # n_pad strictly > n so the padding-sink row (n_pad - 1) is never a
-        # real node; all padded edge slots scatter into it harmlessly.
-        n_pad = bucket_size(n + 1, minimum=min_nodes) if bucket else n + 1
-        e_pad = bucket_size(max(e, 1), minimum=min_edges) if bucket else max(e, 1)
+        if shape_template is not None:
+            if n + 1 > shape_template.n_pad or e > shape_template.e_pad:
+                return None
+            n_pad, e_pad = shape_template.n_pad, shape_template.e_pad
+        else:
+            # n_pad strictly > n so the padding-sink row (n_pad - 1) is never
+            # a real node; padded edge slots scatter into it harmlessly.
+            n_pad = bucket_size(n + 1, minimum=min_nodes) if bucket else n + 1
+            e_pad = (bucket_size(max(e, 1), minimum=min_edges) if bucket
+                     else max(e, 1))
         deg = np.diff(indptr).astype(np.int64)
         rows = np.repeat(np.arange(n, dtype=np.int64), deg)
 
@@ -213,6 +225,23 @@ class DeviceGraph:
         # when window occupancy is too low; "ell" / "scatter" are explicit.
         ell = None
         blocked = None
+        if shape_template is not None:
+            if shape_template.blocked is None:
+                return None  # only blocked-plan templates are supported
+            from gnn_mwvc_tpu.ops.blocked import build_blocked, pad_plan_like
+
+            cand = build_blocked(np.asarray(indptr), np.asarray(indices),
+                                 n_pad)
+            blocked = pad_plan_like(cand, shape_template.blocked)
+            if blocked is None:
+                return None
+            return DeviceGraph(
+                n=shape_template.n, n_pad=n_pad,
+                e=shape_template.e, e_pad=e_pad,
+                row=row, col=col, weights=w, degrees=d, nw=nw,
+                node_mask=node_mask, edge_mask=edge_mask, ell=None,
+                blocked=blocked,
+            )
         if aggregation in ("blocked", "auto"):
             from gnn_mwvc_tpu.ops.blocked import build_blocked
 

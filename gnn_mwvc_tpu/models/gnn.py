@@ -120,6 +120,7 @@ def forward(
     compat: bool = True,
     precision=jax.lax.Precision.HIGHEST,
     x_is_node_weights: bool = False,
+    source_mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Run the layer sequence; returns (n_pad, out_width) activations.
 
@@ -131,6 +132,14 @@ def forward(
     (reference: src/GNN_VC.cpp:189-191).  The first message-passing round is
     then analytic: sum over N(u) of W(v)/ws == NW(u)/ws, already a
     precomputed stat, so the first graph layer costs nothing.
+
+    source_mask: (n_pad,) 0/1 — the sticky-scoring mode (solver/
+    static_score.py): the graph structure is a SUPERSET of the live graph
+    (removed nodes still have edge slots), so features of masked-out nodes
+    are zeroed before every aggregation; their contributions vanish and
+    active rows aggregate exactly over their live neighborhoods.  Bias terms
+    re-introduce nonzeros on dead rows after linear layers, hence the
+    re-mask per round, not just at the input.
     """
     h = x
     first_graph = True
@@ -152,6 +161,8 @@ def forward(
             agg = None
             if first_graph and x_is_node_weights:
                 agg = (dg.nw / weight_scale).reshape(-1, 1).astype(h.dtype)
+            elif source_mask is not None:
+                h = h * source_mask[:, None].astype(h.dtype)
             h = graph_layer(
                 h, dg.row, dg.col, dg.degrees, dg.weights, dg.nw,
                 weight_scale, compat=compat, ell=dg.ell, agg=agg,
@@ -190,20 +201,29 @@ def make_forward_fn(
 
 
 def make_scorer(model: Model, compat: bool = True,
-                precision=jax.lax.Precision.HIGHEST):
+                precision=jax.lax.Precision.HIGHEST, masked: bool = False):
     """jit-compiled standard-pipeline scorer: (params, dg, ws) -> (n_pad,).
 
     Builds x = W/ws on device and exploits the analytic first round.
+
+    masked=True compiles the sticky-mode variant: dg.node_mask is the LIVE
+    active mask over a stale superset structure, applied to the input and
+    before every aggregation (see forward's source_mask).  The analytic
+    first round stays exact because dg.nw is the live neighborhood weight.
     """
     m = model
 
     @jax.jit
     def fn(params, dg, weight_scale):
         x = (dg.weights / weight_scale).reshape(-1, 1).astype(jnp.float32)
+        src_mask = None
+        if masked:
+            src_mask = dg.node_mask.astype(jnp.float32)
+            x = x * src_mask[:, None]
         out = forward(
             Model(kinds=m.kinds, params=params, name=m.name),
             x, dg, weight_scale, compat=compat, precision=precision,
-            x_is_node_weights=True,
+            x_is_node_weights=True, source_mask=src_mask,
         )
         return out[:, 0]
 

@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["BlockedPlan", "build_blocked", "blocked_segment_sum"]
+__all__ = ["BlockedPlan", "build_blocked", "blocked_segment_sum",
+           "pad_plan_like"]
 
 WIN = 128                  # node window (MXU tile edge)
 CHUNK_SIZES = (128, 32, 8)  # slot sizes, large to small
@@ -115,6 +116,42 @@ def build_blocked(indptr: np.ndarray, indices: np.ndarray,
         src_win=tuple(src_wins), dst_win=tuple(dst_wins),
         lsrc=tuple(lsrcs), ldst=tuple(ldsts),
         quality=quality,
+    )
+
+
+def pad_plan_like(plan: BlockedPlan, tmpl: BlockedPlan) -> BlockedPlan | None:
+    """Re-pad *plan*'s chunk arrays to *tmpl*'s exact shapes (and copy its
+    static fields) so a jit program traced for tmpl serves plan verbatim.
+
+    Used by shape-templated rebuilds (solver/static_score.py): a kernel
+    snapshot rebuilt mid-solve has fewer edges than the first build, so its
+    chunk arrays fit inside the template with dead-chunk padding (dst window
+    = n_win sentinel, local dst = WIN sentinel — both already the builder's
+    padding scheme, appended at the tail so dst windows stay sorted).
+    Returns None when any chunk class outgrew the template.
+    """
+    if plan.n_win != tmpl.n_win or plan.n_src_win != tmpl.n_src_win:
+        return None
+    src_win, dst_win, lsrc, ldst = [], [], [], []
+    for i, s in enumerate(CHUNK_SIZES):
+        c = int(np.asarray(plan.src_win[i]).shape[0])
+        ct = int(np.asarray(tmpl.src_win[i]).shape[0])
+        if c > ct:
+            return None
+        pad = ct - c
+        src_win.append(np.concatenate(
+            [np.asarray(plan.src_win[i]), np.zeros(pad, np.int32)]))
+        dst_win.append(np.concatenate(
+            [np.asarray(plan.dst_win[i]),
+             np.full(pad, plan.n_win, np.int32)]))
+        lsrc.append(np.concatenate(
+            [np.asarray(plan.lsrc[i]), np.zeros((pad, s), np.int32)]))
+        ldst.append(np.concatenate(
+            [np.asarray(plan.ldst[i]), np.full((pad, s), WIN, np.int32)]))
+    return dataclasses.replace(
+        tmpl,
+        src_win=tuple(src_win), dst_win=tuple(dst_win),
+        lsrc=tuple(lsrc), ldst=tuple(ldst),
     )
 
 

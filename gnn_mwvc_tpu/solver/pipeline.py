@@ -126,12 +126,19 @@ def gnn_peel(
     verbose: bool = False,
     metrics=None,
 ):
-    """Phase 1; returns (timestamp_of_kernel, kernel_size, initial_cost)."""
+    """Phase 1; returns (timestamp_of_kernel, kernel_size, initial_cost).
+
+    Scorers come in two shapes: the legacy per-snapshot callable
+    ``scorer(snapshot, weight_scale) -> prob`` and the sticky protocol
+    ``scorer.score_core(core, weight_scale) -> (ids, prob, w, deg)``
+    (solver/static_score.py) which owns its own snapshot/plan lifecycle.
+    """
     core.reduce()
     t_kernel = None
     kernel_size = 0
     initial_cost = 0
     first = True
+    sticky = hasattr(scorer, "score_core")
     while core.active_count > 0:
         core.solve_small_components(component_limit)
         if first:
@@ -141,23 +148,29 @@ def gnn_peel(
             initial_cost = core.cost
         if core.active_count == 0:
             break
-        snap = core.snapshot()
         t0 = time.perf_counter()
-        prob = scorer(snap, weight_scale)
+        if sticky:
+            ids, prob, wts, deg = scorer.score_core(core, weight_scale)
+            edges_scored = int(deg.sum())
+        else:
+            snap = core.snapshot()
+            prob = scorer(snap, weight_scale)
+            ids, wts, deg = snap.ids, snap.weights, snap.deg
+            edges_scored = int(snap.indptr[-1]) if snap.n else 0
         t_score = time.perf_counter() - t0
-        order = confidence_order(prob, snap.weights, snap.deg)
+        order = confidence_order(prob, wts, deg)
         core.reset_label_count()
         if verbose:
             print(f"Remaining nodes: {core.active_count}", end="\r",
                   flush=True)
         n_before = core.active_count
         t0 = time.perf_counter()
-        core.peel(snap.ids[order], prob[order].astype(np.float32),
+        core.peel(ids[order], prob[order].astype(np.float32),
                   relable_interval)
         if metrics is not None:
             metrics.record_round(
                 nodes_remaining=core.active_count,
-                edges_scored=int(snap.indptr[-1]) if snap.n else 0,
+                edges_scored=edges_scored,
                 decisions=n_before - core.active_count,
                 label_count=core.label_count,
                 seconds_score=round(t_score, 4),
@@ -197,11 +210,17 @@ def solve(
         g = g.reorder(perm)
 
     weight_scale = float(g.weights.max())
-    scorer = scorer or GnnScorer(model)
+    if scorer is None:
+        # sticky scoring by default: static device structure + per-round
+        # O(n) feature refresh (solver/static_score.py); pass a GnnScorer
+        # for the legacy per-snapshot mode
+        from gnn_mwvc_tpu.solver.static_score import StickyGnnScorer
+
+        scorer = StickyGnnScorer(model)
 
     core = CoreSolver(g.weights, g.edge_array())
     t_kernel, kernel_size, initial_cost = gnn_peel(
-        core, lambda s, ws=weight_scale: scorer(s, ws), weight_scale,
+        core, scorer, weight_scale,
         relable_interval, verbose=verbose, metrics=metrics,
     )
     # rewind the peel decisions; they remain in S as the initial cover
