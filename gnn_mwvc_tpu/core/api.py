@@ -94,6 +94,8 @@ def _load():
                 "mwvc_bulk_begin": ([c], None),
                 "mwvc_bulk_r5": ([c, u32p, ct.c_uint32], ct.c_uint32),
                 "mwvc_node_arrays": ([c, u8p, u32p, u64p, u32p], None),
+                "mwvc_confidence_order": ([ct.c_uint32, f32p, u32p, u32p,
+                                           ct.c_double, u32p], None),
                 "mwvc_peel": ([c, u32p, f32p, ct.c_uint64, ct.c_int,
                                ct.c_uint32], ct.c_uint64),
                 "mwvc_labels_from_model": ([c], ct.c_uint64),
@@ -405,6 +407,17 @@ def baseline_solve(which, weights, edges, seed=1, cutoff=10.0, cc_mode=3):
         cc_mode, vc, _ct.byref(tbest),
     )
     return int(cost), vc, float(tbest.value)
+
+
+def confidence_order_native(prob, weights, deg, eps):
+    """Native confidence sort (see capi.cpp mwvc_confidence_order)."""
+    lib = _load()
+    prob = np.ascontiguousarray(prob, dtype=np.float32)
+    weights = np.ascontiguousarray(weights, dtype=np.uint32)
+    deg = np.ascontiguousarray(deg, dtype=np.uint32)
+    out = np.empty(len(prob), dtype=np.uint32)
+    lib.mwvc_confidence_order(len(prob), prob, weights, deg, float(eps), out)
+    return out
 
 
 def bfs_order(indptr, indices):

@@ -104,6 +104,41 @@ u32 mwvc_bulk_r1(void *h, const u32 *ids, u32 k) {
 
 void mwvc_bulk_begin(void *h) { ((Solver *)h)->begin_bulk_pass(); }
 
+// Confidence-sort comparator of the peel loop (reference: GNN_VC.cpp:194-205
+// via the vectorized analog in solver/pipeline.py confidence_order): primary
+// key eps-bucketed min(p, 1-p) ascending; within a bucket exclusions first;
+// inclusion ties by weight asc then degree desc, exclusion ties by weight
+// desc then degree asc; stable.  One packed-key std::sort replaces a 4-key
+// numpy lexsort (~2x on 1.4M rows, called every peel round).
+void mwvc_confidence_order(u32 n, const float *prob, const u32 *w,
+                           const u32 *deg, double eps, u32 *out) {
+    struct K {
+        u64 a, b;
+        u32 i;
+    };
+    std::vector<K> ks(n);
+    for (u32 i = 0; i < n; ++i) {
+        float p = prob[i];
+        // all-f32 arithmetic, matching the numpy fallback exactly
+        // (np.minimum(prob, 1.0 - prob) / eps stays float32)
+        float av = std::min(p, 1.0f - p);
+        u64 bucket = (u64)std::floor(av / (float)eps);
+        u64 incl = p > 0.5f ? 1 : 0;
+        u64 wkey = incl ? w[i] : (~(u64)w[i] & 0xffffffffull);
+        u64 dkey = incl ? (~(u64)deg[i] & 0xffffffffull) : deg[i];
+        ks[i] = {bucket << 33 | incl << 32 | wkey, dkey, i};
+    }
+    std::sort(ks.begin(), ks.end(), [](const K &x, const K &y) {
+        if (x.a != y.a)
+            return x.a < y.a;
+        if (x.b != y.b)
+            return x.b < y.b;
+        return x.i < y.i;  // stability, matching np.lexsort
+    });
+    for (u32 i = 0; i < n; ++i)
+        out[i] = ks[i].i;
+}
+
 // Live per-node state over the full id space [0, size) — O(n) memcpy-grade,
 // no CSR walk.  The sticky-scoring path (solver/static_score.py) refreshes
 // node features each round from this instead of re-snapshotting the graph.

@@ -93,6 +93,12 @@ def confidence_order(prob: np.ndarray, weights: np.ndarray,
     min(p, 1-p) ascending; within a bucket exclusions come first; inclusion
     ties order by weight asc then degree desc, exclusion ties by weight desc
     then degree asc."""
+    try:
+        from gnn_mwvc_tpu.core import confidence_order_native
+
+        return confidence_order_native(prob, weights, deg, CONF_EPS)
+    except ImportError:
+        pass
     av = np.minimum(prob, 1.0 - prob)
     bucket = np.floor(av / CONF_EPS)
     incl = prob > 0.5

@@ -100,3 +100,24 @@ def test_cli_contract(tmp_path, rnd_graph):
     # cost field must equal the written solution's cost
     cost = int(fields[-2]) if len(fields) == 8 else int(fields[1])
     assert cover_cost(g, sol) == cost
+
+
+def test_confidence_order_native_matches_numpy():
+    import numpy as np
+
+    from gnn_mwvc_tpu.core import confidence_order_native
+    from gnn_mwvc_tpu.solver.pipeline import CONF_EPS
+
+    rng = np.random.default_rng(11)
+    n = 30000
+    prob = rng.random(n).astype(np.float32)
+    w = rng.integers(1, 5000, n).astype(np.uint32)
+    d = rng.integers(0, 200, n).astype(np.uint32)
+    av = np.minimum(prob, 1.0 - prob)
+    bucket = np.floor(av / CONF_EPS)
+    incl = prob > 0.5
+    k_w = np.where(incl, w.astype(np.int64), -w.astype(np.int64))
+    k_d = np.where(incl, -d.astype(np.int64), d.astype(np.int64))
+    ref = np.lexsort((k_d, k_w, incl.astype(np.int8), bucket))
+    got = confidence_order_native(prob, w, d, CONF_EPS)
+    assert np.array_equal(ref.astype(np.uint32), got)
