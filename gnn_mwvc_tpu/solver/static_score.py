@@ -30,9 +30,14 @@ structural exceptions are folds:
     a neutral 0.5 (least-confident -> decided last), and their neighbors'
     aggregations miss one contribution until the next rebuild.
 
-Drift is bounded by rebuild triggers: when the active count halves or
-gadgets exceed a small fraction, a fresh snapshot/plan is built (O(log N)
-rebuilds per solve, amortized <= 2x one build).
+Gadget drift is bounded by a rebuild trigger (gadgets > 2% of the built
+size), and rebuilds are SHAPE-TEMPLATED into the first build's exact array
+shapes so the already-compiled program serves them.  The graph shrinking by
+itself never triggers a rebuild: scoring a non-shrinking static shape costs
+single-digit extra milliseconds on device, while every fresh program shape
+costs a 30-250 s one-time compile/load through the remote-compile relay.
+Once the live kernel drops below the accelerator threshold the scorer exits
+to the legacy per-snapshot CPU path.
 """
 
 from __future__ import annotations

@@ -41,4 +41,23 @@ if [ ! -x "$OUT/bench_predict" ] || [ "$1" = "-f" ]; then
   fi
 fi
 
+# Comparison-solver baselines (differential quality runs; same METIS input).
+for S in DynWVC2 FastWVC; do
+  if [ ! -x "$OUT/$S" ] || [ "$1" = "-f" ]; then
+    g++ -std=c++17 -O2 -march=native -DNDEBUG \
+      -o "$OUT/$S" "$REF/other_solvers/$S/mwvc.cpp"
+  fi
+done
+if [ ! -x "$OUT/NuMWVC" ] || [ "$1" = "-f" ]; then
+  # "C" source includes <vector>; compile as C++ like its original makefile
+  g++ -x c++ -O2 -march=native -DNDEBUG \
+    -o "$OUT/NuMWVC" "$REF/other_solvers/NuMWVC/wvcp_0123.c" 2>/dev/null \
+    || echo "NuMWVC build skipped"
+fi
+if [ ! -x "$OUT/HILS" ] || [ "$1" = "-f" ]; then
+  g++ -std=c++17 -O2 -march=native -DNDEBUG \
+    -o "$OUT/HILS" "$REF"/other_solvers/HILS/*.cpp 2>/dev/null \
+    || echo "HILS build skipped"
+fi
+
 echo "$OUT"
