@@ -26,9 +26,12 @@ class Graph:
     Parameters
     ----------
     weights : (N,) integer vertex weights.
-    edges : (M, 2) unique undirected edges with u < v, sorted lexicographically
-        (same normalization the reference parser applies,
-        reference: src/GNN_VC.cpp:76-78).
+    edges : (M, 2) undirected edges.  Canonical form (unique, u < v, sorted
+        lexicographically — the normalization the reference parser applies,
+        reference: src/GNN_VC.cpp:76-78) is verified with one O(M) pass;
+        inputs with duplicates, reversed pairs, or self-loops are
+        canonicalized (parallel edges would silently corrupt NW/degree
+        semantics and with them reduction-rule soundness).
     """
 
     __slots__ = ("n", "m", "weights", "indptr", "indices", "_nw")
@@ -40,6 +43,16 @@ class Graph:
         if edges is None or len(edges) == 0:
             edges = np.zeros((0, 2), dtype=np.int64)
         edges = np.asarray(edges)
+        if len(edges):
+            key = edges[:, 0].astype(np.int64) * self.n + edges[:, 1]
+            canonical = bool(
+                (edges[:, 0] < edges[:, 1]).all()
+                and (key[1:] > key[:-1]).all()
+            )
+            if not canonical:
+                e = np.sort(edges.astype(np.int64), axis=1)
+                e = np.unique(e[e[:, 0] != e[:, 1]], axis=0)
+                edges = e
         self.m = int(edges.shape[0])
 
         # Symmetrize: every undirected edge appears in both endpoint rows.

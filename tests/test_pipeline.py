@@ -121,3 +121,24 @@ def test_confidence_order_native_matches_numpy():
     ref = np.lexsort((k_d, k_w, incl.astype(np.int8), bucket))
     got = confidence_order_native(prob, w, d, CONF_EPS)
     assert np.array_equal(ref.astype(np.uint32), got)
+
+
+def test_batch_cli(tmp_path):
+    import numpy as np
+
+    from gnn_mwvc_tpu.graphio import write_metis
+    from gnn_mwvc_tpu.solver.batch import main as batch_main
+    from tests.conftest import random_graph
+
+    paths = []
+    for s in (1, 2):
+        g = random_graph(300, 6, seed=s, wmax=50)
+        p = str(tmp_path / f"g{s}.metis")
+        write_metis(p, g)
+        paths.append(p)
+    out = str(tmp_path / "res")
+    rc = batch_main(paths + ["--out", out, "--time", "0.5", "--json"])
+    assert rc == 0
+    for s in (1, 2):
+        sol = np.loadtxt(out + f"/g{s}.sol", dtype=int)
+        assert len(sol) == 300
