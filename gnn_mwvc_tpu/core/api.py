@@ -93,8 +93,8 @@ def _load():
                 "mwvc_bulk_twins": ([c, u32p, ct.c_uint32], ct.c_uint32),
                 "mwvc_bulk_begin": ([c], None),
                 "mwvc_bulk_r5": ([c, u32p, ct.c_uint32], ct.c_uint32),
-                "mwvc_node_arrays": ([c, u8p, u32p, u64p, u32p], None),
-                "mwvc_confidence_order": ([ct.c_uint32, f32p, u32p, u32p,
+                "mwvc_node_arrays": ([c, u8p, u64p, u64p, u32p], None),
+                "mwvc_confidence_order": ([ct.c_uint32, f32p, u64p, u32p,
                                            ct.c_double, u32p], None),
                 "mwvc_peel": ([c, u32p, f32p, ct.c_uint64, ct.c_int,
                                ct.c_uint32], ct.c_uint64),
@@ -262,7 +262,7 @@ class CoreSolver:
         refresh for sticky scoring (node ids are stable in this core)."""
         n = self.n_nodes
         active = np.empty(n, np.uint8)
-        w = np.empty(n, np.uint32)
+        w = np.empty(n, np.uint64)  # u64: twin folds sum weights past 2^32
         nw = np.empty(n, np.uint64)
         deg = np.empty(n, np.uint32)
         self._lib.mwvc_node_arrays(self._h, active, w, nw, deg)
@@ -413,7 +413,7 @@ def confidence_order_native(prob, weights, deg, eps):
     """Native confidence sort (see capi.cpp mwvc_confidence_order)."""
     lib = _load()
     prob = np.ascontiguousarray(prob, dtype=np.float32)
-    weights = np.ascontiguousarray(weights, dtype=np.uint32)
+    weights = np.ascontiguousarray(weights, dtype=np.uint64)
     deg = np.ascontiguousarray(deg, dtype=np.uint32)
     out = np.empty(len(prob), dtype=np.uint32)
     lib.mwvc_confidence_order(len(prob), prob, weights, deg, float(eps), out)

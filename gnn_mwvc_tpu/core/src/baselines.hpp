@@ -72,7 +72,11 @@ struct CsrGraph {
 // ---------------------------------------------------------------------------
 class WvcBaseline {
   public:
-    enum Strategy { FASTWVC, DYNWVC2 };
+    // NUMWVC = the FastWVC engine driving NuMWVC's CC search, except the
+    // repair scans the whole uncovered-edge stack (choose_add) — the
+    // behavior NuMwvcSolver was built and validated against; the restricted
+    // ChooseAddV rules below are FastWVC/DynWVC2 reference semantics only.
+    enum Strategy { FASTWVC, DYNWVC2, NUMWVC };
 
     CsrGraph g;
     std::mt19937 rng;
@@ -85,7 +89,7 @@ class WvcBaseline {
     // forgetting in both (mwvc.h:775).
     bool conf_on_uncovered, forget_mode;
 
-    bool use_cc() const { return strat == FASTWVC; }
+    bool use_cc() const { return strat == FASTWVC || strat == NUMWVC; }
 
     std::vector<uint8_t> in_c, best_c, conf, tabu, must_in;
     std::vector<i64> dscore, valid_score;
@@ -447,8 +451,8 @@ class WvcBaseline {
     }
 
     void repair(bool tabu_added) {
-        // generic repair over the uncovered-edge stack (NuMWVC construction
-        // path); the FastWVC/DynWVC2 searches use their restricted rules
+        // generic repair over the whole uncovered-edge stack — the NUMWVC
+        // search step; FastWVC/DynWVC2 use their restricted ChooseAddV rules
         while (!uncov.empty()) {
             u32 av = choose_add();
             if (av == UINT32_MAX)
@@ -473,12 +477,13 @@ class WvcBaseline {
             u32 update_v = update_target_size();
             if (update_v == UINT32_MAX)
                 return;  // nothing removable
-            time_stamp[update_v] = (u32)step;
+            if (strat == DYNWVC2)  // only DynWVC2 stamps the target-size
+                time_stamp[update_v] = (u32)step;  // removal (mwvc.h:815)
             if (step % try_step == 0 && clk.elapsed() >= cutoff)
                 return;
 
             u32 rv, rv2 = UINT32_MAX;
-            if (strat == FASTWVC) {
+            if (strat != DYNWVC2) {
                 rv = choose_remove_tournament(true);
             } else if (no_improve < 5) {
                 rv = choose_remove_min_valid();
@@ -506,21 +511,25 @@ class WvcBaseline {
                     time_stamp[rv2] = (u32)step;
                 }
             }
-            if (strat == FASTWVC)
+            if (strat != DYNWVC2)
                 std::fill(tabu.begin(), tabu.end(), 0);
-            while (!uncov.empty()) {
-                u32 av = strat == FASTWVC
-                             ? choose_add_fast(rv, update_v)
-                             : choose_add_dyn(update_v, rv, rv2);
-                if (av == UINT32_MAX)
-                    av = fallback_uncov_endpoint();
-                add(av);
-                update_edge_weights();
-                if (strat == FASTWVC)
-                    tabu[av] = 1;
-                time_stamp[av] = (u32)step;
+            if (strat == NUMWVC) {
+                repair(/*tabu_added=*/true);
+            } else {
+                while (!uncov.empty()) {
+                    u32 av = strat == FASTWVC
+                                 ? choose_add_fast(rv, update_v)
+                                 : choose_add_dyn(update_v, rv, rv2);
+                    if (av == UINT32_MAX)
+                        av = fallback_uncov_endpoint();
+                    add(av);
+                    update_edge_weights();
+                    if (strat == FASTWVC)
+                        tabu[av] = 1;
+                    time_stamp[av] = (u32)step;
+                }
             }
-            if (strat == FASTWVC)
+            if (strat != DYNWVC2)
                 remove_redundant();
             step++;
             // the no-improvement counter accumulates and is only reset by
@@ -539,7 +548,7 @@ class NuMwvcSolver : public WvcBaseline {
   public:
     NuMwvcSolver(u32 n, const u32 *wt, u64 m, const u32 *eu, const u32 *ev,
                  u32 seed)
-        : WvcBaseline(n, wt, m, eu, ev, seed, FASTWVC, /*cc=*/1) {}
+        : WvcBaseline(n, wt, m, eu, ev, seed, NUMWVC, /*cc=*/1) {}
 
     // uncovered-degree of a non-cover vertex
     u32 uncov_deg(u32 v, u32 *n1 = nullptr, u32 *n2 = nullptr) const {

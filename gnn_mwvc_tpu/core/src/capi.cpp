@@ -66,7 +66,10 @@ u32 mwvc_snapshot(void *h, u32 *ids, u32 *wts, u64 *nw, u32 *deg, u64 *indptr,
         if (g.active[u]) {
             newid[u] = k;
             ids[k] = u;
-            wts[k] = (u32)g.w[u];
+            // clamp (not wrap) fold-grown weights that exceed the u32
+            // snapshot field; scoring consumes f32 anyway and the clamp is
+            // monotone where a wrap would invert comparisons
+            wts[k] = (u32)std::min<u64>(g.w[u], UINT32_MAX);
             nw[k] = g.nw[u];
             deg[k] = g.deg[u];
             k++;
@@ -110,11 +113,11 @@ void mwvc_bulk_begin(void *h) { ((Solver *)h)->begin_bulk_pass(); }
 // inclusion ties by weight asc then degree desc, exclusion ties by weight
 // desc then degree asc; stable.  One packed-key std::sort replaces a 4-key
 // numpy lexsort (~2x on 1.4M rows, called every peel round).
-void mwvc_confidence_order(u32 n, const float *prob, const u32 *w,
+void mwvc_confidence_order(u32 n, const float *prob, const u64 *w,
                            const u32 *deg, double eps, u32 *out) {
     struct K {
-        u64 a, b;
-        u32 i;
+        u64 a, b;  // a = bucket<<1 | incl; b = weight key (full 64-bit)
+        u32 c, i;  // c = degree key; i = stability tie-break
     };
     std::vector<K> ks(n);
     for (u32 i = 0; i < n; ++i) {
@@ -124,15 +127,17 @@ void mwvc_confidence_order(u32 n, const float *prob, const u32 *w,
         float av = std::min(p, 1.0f - p);
         u64 bucket = (u64)std::floor(av / (float)eps);
         u64 incl = p > 0.5f ? 1 : 0;
-        u64 wkey = incl ? w[i] : (~(u64)w[i] & 0xffffffffull);
-        u64 dkey = incl ? (~(u64)deg[i] & 0xffffffffull) : deg[i];
-        ks[i] = {bucket << 33 | incl << 32 | wkey, dkey, i};
+        u64 wkey = incl ? w[i] : ~w[i];
+        u32 dkey = incl ? ~deg[i] : deg[i];
+        ks[i] = {bucket << 1 | incl, wkey, dkey, i};
     }
     std::sort(ks.begin(), ks.end(), [](const K &x, const K &y) {
         if (x.a != y.a)
             return x.a < y.a;
         if (x.b != y.b)
             return x.b < y.b;
+        if (x.c != y.c)
+            return x.c < y.c;
         return x.i < y.i;  // stability, matching np.lexsort
     });
     for (u32 i = 0; i < n; ++i)
@@ -142,12 +147,12 @@ void mwvc_confidence_order(u32 n, const float *prob, const u32 *w,
 // Live per-node state over the full id space [0, size) — O(n) memcpy-grade,
 // no CSR walk.  The sticky-scoring path (solver/static_score.py) refreshes
 // node features each round from this instead of re-snapshotting the graph.
-void mwvc_node_arrays(void *h, uint8_t *active, u32 *w, u64 *nw, u32 *deg) {
+void mwvc_node_arrays(void *h, uint8_t *active, u64 *w, u64 *nw, u32 *deg) {
     auto *s = (Solver *)h;
     u32 n = s->g.size();
     for (u32 u = 0; u < n; ++u) {
         active[u] = s->g.active[u] ? 1 : 0;
-        w[u] = (u32)s->g.w[u];
+        w[u] = (u64)s->g.w[u];  // u64: twin folds sum weights past 2^32
         nw[u] = (u64)s->g.nw[u];
         deg[u] = s->g.deg[u];
     }

@@ -201,29 +201,23 @@ def make_forward_fn(
 
 
 def make_scorer(model: Model, compat: bool = True,
-                precision=jax.lax.Precision.HIGHEST, masked: bool = False):
+                precision=jax.lax.Precision.HIGHEST):
     """jit-compiled standard-pipeline scorer: (params, dg, ws) -> (n_pad,).
 
-    Builds x = W/ws on device and exploits the analytic first round.
-
-    masked=True compiles the sticky-mode variant: dg.node_mask is the LIVE
-    active mask over a stale superset structure, applied to the input and
-    before every aggregation (see forward's source_mask).  The analytic
-    first round stays exact because dg.nw is the live neighborhood weight.
+    Builds x = W/ws on device and exploits the analytic first round.  The
+    masked sticky-mode variant lives in solver/static_score.py
+    (_make_sticky_fn), which fuses the per-round delta update with the
+    masked forward in one program.
     """
     m = model
 
     @jax.jit
     def fn(params, dg, weight_scale):
         x = (dg.weights / weight_scale).reshape(-1, 1).astype(jnp.float32)
-        src_mask = None
-        if masked:
-            src_mask = dg.node_mask.astype(jnp.float32)
-            x = x * src_mask[:, None]
         out = forward(
             Model(kinds=m.kinds, params=params, name=m.name),
             x, dg, weight_scale, compat=compat, precision=precision,
-            x_is_node_weights=True, source_mask=src_mask,
+            x_is_node_weights=True,
         )
         return out[:, 0]
 

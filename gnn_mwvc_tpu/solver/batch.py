@@ -54,7 +54,6 @@ def main(argv=None):
     from gnn_mwvc_tpu.solver import solve
     from gnn_mwvc_tpu.solver.static_score import StickyGnnScorer
 
-    kw = {}
     scorer = None
     if args.quick:
         from gnn_mwvc_tpu.solver.quick import QuickScorer
@@ -71,11 +70,17 @@ def main(argv=None):
         # the jitted programs, model, and native core stay warm in-process
         res = solve(
             g, time_limit=args.time, reorder=not args.no_reorder,
-            scorer=scorer if args.quick else StickyGnnScorer(), **kw,
+            scorer=scorer if args.quick else StickyGnnScorer(),
         )
         dt = time.perf_counter() - t0
-        assert is_vertex_cover(g, res.solution)
-        assert cover_cost(g, res.solution) == res.cost
+        # explicit validation (asserts vanish under python -O; this is the
+        # serving entry point and must never emit an unvalidated cover)
+        if not is_vertex_cover(g, res.solution):
+            print(f"{name}: INVALID COVER — not written", file=sys.stderr)
+            return 2
+        if cover_cost(g, res.solution) != res.cost:
+            print(f"{name}: cost mismatch — not written", file=sys.stderr)
+            return 2
         sol_path = os.path.join(args.out, name + ".sol")
         with open(sol_path, "w") as f:
             f.write("\n".join(map(str, res.solution.astype(int))) + "\n")

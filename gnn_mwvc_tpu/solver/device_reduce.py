@@ -1,11 +1,21 @@
 """Device-guided bulk reduction prepass.
 
 Evaluates whole-graph rule candidate masks on device (ops/rules.py) and
-bulk-applies them through the host core, which re-verifies every candidate
-against live state before committing — device masks are hints, exactness
-stays host-owned.  This front-loads the O(E) share of the reduction work
-(rule 1 removals and twin folds typically dominate rule fires on large
-instances) before the fine-grained worklist engine runs.
+bulk-applies them through the host core.  Soundness differs per rule:
+
+* r1 / twins: the core re-verifies each candidate against live state
+  (NW <= W, exact is_twin) before committing — stale masks are harmless.
+* r5 (bulk_r5): the device's 2^8-subset proof is exact for the SNAPSHOT
+  instance and is applied WITHOUT host re-solving; it transfers to live
+  state only because the core tracks instance drift during the pass
+  (Solver.begin_bulk_pass / mark_*_dirty in solver.hpp) and skips any
+  candidate whose 1-hop instance may have changed.  Every mutation path
+  inside a bulk pass MUST mark the affected closed neighborhoods dirty —
+  that invariant, not re-verification, carries r5's exactness.
+
+This front-loads the O(E) share of the reduction work (rule 1 removals and
+twin folds typically dominate rule fires on large instances) before the
+fine-grained worklist engine runs.
 """
 
 from __future__ import annotations

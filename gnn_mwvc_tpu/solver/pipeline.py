@@ -35,29 +35,37 @@ from gnn_mwvc_tpu.models.gnn import make_scorer
 CONF_EPS = 1e-4  # confidence tie width (reference: GNN_VC.cpp:196)
 
 
+def pick_devices():
+    """(cpu_device, accel_device_or_None).
+
+    jax.devices() lists only the default backend, so the CPU backend is
+    asked for explicitly (it always exists alongside an accelerator).
+    """
+    import jax
+
+    cpu = None
+    accel = None
+    try:
+        cpu = jax.devices("cpu")[0]
+    except Exception:
+        pass
+    for d in jax.devices():
+        if d.platform != "cpu":
+            accel = d
+            break
+    if cpu is None:  # CPU-only environment
+        cpu = jax.devices()[0]
+    return cpu, accel
+
+
 class GnnScorer:
     """Scores kernel snapshots, routing to TPU or CPU by size."""
 
     def __init__(self, model: Optional[Model] = None, tpu_min_edges=4_000_000,
                  compat=True):
-        import jax
-
         self.model = model or load_pretrained()
         self.tpu_min_edges = tpu_min_edges
-        # jax.devices() lists only the default backend; ask for the CPU
-        # backend explicitly (it always exists alongside an accelerator).
-        self._cpu_dev = None
-        self._tpu_dev = None
-        try:
-            self._cpu_dev = jax.devices("cpu")[0]
-        except Exception:
-            pass
-        for d in jax.devices():
-            if d.platform != "cpu":
-                self._tpu_dev = d
-                break
-        if self._cpu_dev is None:  # CPU-only environment
-            self._cpu_dev = jax.devices()[0]
+        self._cpu_dev, self._tpu_dev = pick_devices()
         self._fn_accel = make_scorer(self.model, compat=compat)
         self._fn_cpu = make_scorer(self.model, compat=compat)
 

@@ -106,24 +106,13 @@ class StickyGnnScorer:
         # remote-compile relay costs 30-250 s (measured road1200: 11 shrink
         # rebuilds dominated the wall clock).  One program per instance; the
         # kernel exits to the legacy CPU path below tpu_min_edges anyway.
-        import jax
+        from gnn_mwvc_tpu.solver.pipeline import pick_devices
 
         self.model = model or load_pretrained()
         self.tpu_min_edges = tpu_min_edges
         self.rebuild_active_frac = rebuild_active_frac
         self.rebuild_gadget_frac = rebuild_gadget_frac
-        self._cpu_dev = None
-        self._tpu_dev = None
-        try:
-            self._cpu_dev = jax.devices("cpu")[0]
-        except Exception:
-            pass
-        for d in jax.devices():
-            if d.platform != "cpu":
-                self._tpu_dev = d
-                break
-        if self._cpu_dev is None:
-            self._cpu_dev = jax.devices()[0]
+        self._cpu_dev, self._tpu_dev = pick_devices()
         self._fn = _make_sticky_fn(self.model.kinds, self.model.name, compat)
         self._state = None  # (dg, snap_ids, built_size, built_active, device)
         self._bufs = None   # persistent device feature buffers
