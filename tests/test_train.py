@@ -134,3 +134,46 @@ def test_greedy_and_constructions():
         cost, vc = fn(g.weights, g.edge_array())
         assert is_vertex_cover(g, vc)
         assert cover_cost(g, vc) == cost
+
+
+def test_full_data_prep_to_train_to_solve_chain(tmp_path):
+    """The SURVEY §3.5 chain end-to-end through the CLIs: raw edges ->
+    gen_weights -> 3-rule kernel -> labels -> gnn-train -> solve with the
+    freshly trained checkpoint."""
+    import numpy as np
+
+    from gnn_mwvc_tpu.graphio import (cover_cost, is_vertex_cover,
+                                      write_edge_graph)
+    from gnn_mwvc_tpu.models import load_model
+    from gnn_mwvc_tpu.solver import solve
+    from gnn_mwvc_tpu.solver.pipeline import GnnScorer
+    from gnn_mwvc_tpu.train.cli import main as train_main
+    from gnn_mwvc_tpu.train.data import gen_reduced_graph
+    from tests.conftest import random_graph
+
+    gdir = tmp_path / "graphs"
+    ldir = tmp_path / "labels"
+    gdir.mkdir()
+    ldir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        g = random_graph(2000, 10, seed=100 + i, wmax=100)
+        kernel, _cost, _ids = gen_reduced_graph(g)
+        if kernel.n < 200:
+            continue
+        # labels from a quick solve of the kernel
+        res = solve(kernel, time_limit=0.3)
+        y = res.solution.astype(int)
+        write_edge_graph(gdir / f"k{i}.mtx", kernel)
+        np.savetxt(ldir / f"k{i}.txt", y, fmt="%d")
+
+    out = tmp_path / "model.txt"
+    rc = train_main([str(gdir), str(ldir), str(out), "3", "0"])
+    assert rc == 0
+    model = load_model(str(out))
+    assert model.num_params() == 6209  # reference architecture
+
+    g = random_graph(1500, 8, seed=999, wmax=100)
+    res = solve(g, time_limit=1.0, scorer=GnnScorer(model))
+    assert is_vertex_cover(g, res.solution)
+    assert cover_cost(g, res.solution) == res.cost
