@@ -192,6 +192,8 @@ def gnn_peel(
             )
     if t_kernel is None:
         t_kernel = core.timestamp
+    if metrics is not None and sticky and hasattr(metrics, "record_scorer"):
+        metrics.record_scorer(dict(scorer.stats))
     return t_kernel, kernel_size, initial_cost
 
 

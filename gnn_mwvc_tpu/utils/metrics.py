@@ -78,12 +78,19 @@ class SolveMetrics:
     def record_round(self, **kw):
         self.rounds.append(RoundRecord(round=len(self.rounds), **kw))
 
+    def record_scorer(self, stats: dict):
+        """Scorer-lifecycle stats (sticky rebuilds, prep seconds, legacy
+        fallback rounds — see solver/static_score.py)."""
+        self.scorer_stats = stats
+
     def summary(self, **final):
         out = {
             "rounds": [dataclasses.asdict(r) for r in self.rounds],
             "phases": self.timer.as_dict(),
             **final,
         }
+        if getattr(self, "scorer_stats", None):
+            out["scorer"] = self.scorer_stats
         if self.sink:
             with open(self.sink, "a") as f:
                 f.write(json.dumps(out) + "\n")
