@@ -123,6 +123,7 @@ def _load():
                 "mwvc_ls_best_cost": ([c], ct.c_uint64),
                 "mwvc_ls_best_seen": ([c], ct.c_uint64),
                 "mwvc_ls_steps": ([c], ct.c_uint64),
+                "mwvc_ls_forget": ([c, ct.c_double], None),
                 "mwvc_ls_get_best": ([c, u8p], None),
             }
             for name, (argtypes, restype) in sigs.items():
@@ -330,6 +331,12 @@ class CoreLocalSearch:
 
     def search(self, iterations, time_budget):
         return bool(self._lib.mwvc_ls_search(self._h, iterations, time_budget))
+
+    def forget(self, scale=0.3):
+        """Decay learned edge weights and rebuild dscores/heap — FastWVC's
+        ForgetEdgeWeights as an opt-in diversification for the phase-2
+        search (the reference phase-2 LS has none)."""
+        self._lib.mwvc_ls_forget(self._h, float(scale))
 
     @property
     def cost(self):

@@ -295,6 +295,10 @@ int mwvc_ls_search(void *h, u32 iterations, double time_budget) {
 u64 mwvc_ls_cost(void *h) { return ((LocalSearch *)h)->cost; }
 u64 mwvc_ls_best_cost(void *h) { return ((LocalSearch *)h)->best_cost; }
 u64 mwvc_ls_best_seen(void *h) { return ((LocalSearch *)h)->best_seen; }
+void mwvc_ls_forget(void *h, double scale) {
+    ((LocalSearch *)h)->forget(scale);
+}
+
 u64 mwvc_ls_steps(void *h) { return ((LocalSearch *)h)->step; }
 
 void mwvc_ls_get_best(void *h, uint8_t *out) {

@@ -239,6 +239,33 @@ class LocalSearch {
         }
         return false;
     }
+
+    // ---- diversification: edge-weight forgetting -------------------------
+    // The GNN_VC phase-2 search has no diversification (reference:
+    // local_search.hpp); FastWVC's ForgetEdgeWeights (FastWVC/mwvc.h:734)
+    // decays the learned edge weights so the dscore landscape flattens and
+    // the search escapes the basin it has over-fit.  Opt-in: the solve
+    // driver invokes it when the step-size floor stalls (beyond-reference
+    // anytime behavior; off by default for trajectory parity).
+    void forget(double scale) {
+        for (u32 i = 0; i < m; ++i) {
+            edge_w[i] = (u32)(edge_w[i] * scale);
+            if (edge_w[i] < 1)
+                edge_w[i] = 1;
+        }
+        // rebuild dscores from scratch under the new weights
+        std::fill(dscore.begin(), dscore.end(), 0);
+        for (u32 i = 0; i < m; ++i) {
+            u32 a = eu[i], b = ev[i];
+            if (in_s[a] && !in_s[b])
+                dscore[a] += edge_w[i];
+            else if (!in_s[a] && in_s[b])
+                dscore[b] += edge_w[i];
+            // both-in edges contribute 0 (removing either keeps it covered);
+            // both-out cannot happen between steps (the cover is valid)
+        }
+        build_heap();
+    }
 };
 
 }  // namespace mwvc

@@ -209,7 +209,13 @@ def solve(
     checkpoint_interval: float = 60.0,
     reorder: bool = False,
     metrics=None,
+    ls_forget_after: int = 0,
 ) -> SolveResult:
+    """ls_forget_after > 0 enables phase-2 diversification beyond the
+    reference semantics: after that many consecutive non-improving search
+    batches at the step-size floor, the learned edge weights are decayed
+    (CoreLocalSearch.forget) to flatten the dscore landscape.  0 (default)
+    keeps exact reference phase-2 behavior."""
     t_start = time.perf_counter()
     if g.n == 0:
         return SolveResult(np.zeros(0, np.int8), 0, 0, 0.0, 0.0, 0.0, 0, 0,
@@ -278,9 +284,11 @@ def solve(
     t_best = t2
     last_ckpt = t2
     step_size = seed_step_size
+    stalled = 0
     while time_gnn + (time.perf_counter() - t2) < time_limit:
         remaining = time_limit - time_gnn - (time.perf_counter() - t2)
         if ls.search(step_size, remaining):
+            stalled = 0
             t_best = time.perf_counter()
             step_size = min(step_size * 2, 1 << 16)
             if verbose:
@@ -302,6 +310,11 @@ def solve(
                 last_ckpt = t_best
         else:
             step_size = max(step_size // 2, 1 << 10)
+            if ls_forget_after and step_size == 1 << 10:
+                stalled += 1
+                if stalled >= ls_forget_after:
+                    ls.forget(0.3)
+                    stalled = 0
 
     # write the best cover back into the core solution (cost adjusted with
     # kernel-state weights, as the reference's get_cover does)

@@ -175,3 +175,25 @@ def test_peel_pipeline_smoke():
     assert (sol >= 0).all()
     assert is_vertex_cover(g, sol)
     assert cover_cost(g, sol) == s.cost
+
+
+def test_local_search_forget_diversification():
+    """Opt-in edge-weight forgetting keeps the cover valid and the search
+    functional (beyond-reference anytime behavior)."""
+    from tests.conftest import random_graph
+
+    g = random_graph(800, 8, seed=13, wmax=50)
+    s = CoreSolver(g.weights, g.edge_array(), num_rules=0)
+    from gnn_mwvc_tpu.core import CoreLocalSearch, greedy_cover
+
+    _cost, cover = greedy_cover(g.weights, g.edge_array())
+    ls = CoreLocalSearch(g.weights, g.edge_array(), cover)
+    ls.search(20000, 1.0)
+    c1 = ls.best_cost
+    ls.forget(0.3)
+    ls.search(20000, 1.0)
+    assert ls.best_cost <= c1  # monotone best under continued search
+    from gnn_mwvc_tpu.graphio import is_vertex_cover
+
+    best = ls.best()
+    assert is_vertex_cover(g, best)
