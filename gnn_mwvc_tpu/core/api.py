@@ -124,6 +124,8 @@ def _load():
                 "mwvc_ls_best_seen": ([c], ct.c_uint64),
                 "mwvc_ls_steps": ([c], ct.c_uint64),
                 "mwvc_ls_forget": ([c, ct.c_double], None),
+                "mwvc_ls_restore_best": ([c], None),
+                "mwvc_ls_perturb": ([c, ct.c_uint32, ct.c_uint64], None),
                 "mwvc_ls_get_best": ([c, u8p], None),
             }
             for name, (argtypes, restype) in sigs.items():
@@ -337,6 +339,18 @@ class CoreLocalSearch:
         ForgetEdgeWeights as an opt-in diversification for the phase-2
         search (the reference phase-2 LS has none)."""
         self._lib.mwvc_ls_forget(self._h, float(scale))
+
+    def restore_best(self):
+        """Intensification: jump back to the snapshotted best cover,
+        keeping the learned edge weights and ages (ILS pattern; the
+        reference phase-2 search has no diversification)."""
+        self._lib.mwvc_ls_restore_best(self._h)
+
+    def perturb(self, k, seed):
+        """Diversification: remove k random cover vertices + greedy repair
+        (HILS force(k) analog, Solution.cpp:383-400); deterministic per
+        seed."""
+        self._lib.mwvc_ls_perturb(self._h, int(k), int(seed))
 
     @property
     def cost(self):

@@ -299,6 +299,12 @@ void mwvc_ls_forget(void *h, double scale) {
     ((LocalSearch *)h)->forget(scale);
 }
 
+void mwvc_ls_restore_best(void *h) { ((LocalSearch *)h)->restore_best(); }
+
+void mwvc_ls_perturb(void *h, u32 k, u64 seed) {
+    ((LocalSearch *)h)->perturb(k, seed);
+}
+
 u64 mwvc_ls_steps(void *h) { return ((LocalSearch *)h)->step; }
 
 void mwvc_ls_get_best(void *h, uint8_t *out) {

@@ -240,6 +240,90 @@ class LocalSearch {
         return false;
     }
 
+    // ---- diversification helpers (beyond-reference anytime behavior) ----
+    // The reference phase-2 search has none; these implement the classic ILS
+    // recipe (HILS main.cpp:215-340 pattern): intensify by restoring the
+    // best cover, diversify by forcing k random removals + greedy repair.
+
+    // Rebuild dscores from scratch under the current cover and edge weights,
+    // reset configuration flags, rebuild the heap.  O(n + m).
+    void rebuild_scores() {
+        std::fill(dscore.begin(), dscore.end(), 0);
+        for (u32 i = 0; i < m; ++i) {
+            u32 a = eu[i], b = ev[i];
+            if (in_s[a] && !in_s[b])
+                dscore[a] += edge_w[i];
+            else if (!in_s[a] && in_s[b])
+                dscore[b] += edge_w[i];
+            else if (!in_s[a] && !in_s[b]) {  // uncovered (mid-perturbation)
+                dscore[a] += edge_w[i];
+                dscore[b] += edge_w[i];
+            }
+        }
+        std::fill(conf.begin(), conf.end(), 1);
+        build_heap();
+    }
+
+    // Intensification: jump back to the snapshotted best cover, keeping the
+    // learned edge weights (the landscape) and ages (the history).
+    void restore_best() {
+        in_s = best_s;
+        cost = best_cost;
+        rebuild_scores();
+    }
+
+    // Diversification: remove k random cover vertices, then repair the
+    // uncovered edges greedily (add the endpoint with the better
+    // gain/weight ratio, FastWVC-ConstructVC style).  Call after
+    // restore_best for the standard ILS kick.  Deterministic per seed.
+    void perturb(u32 k, u64 seed) {
+        auto rnd = [&]() {  // splitmix64
+            seed += 0x9e3779b97f4a7c15ull;
+            u64 z = seed;
+            z = (z ^ (z >> 30)) * 0xbf58476d1ce4e5b9ull;
+            z = (z ^ (z >> 27)) * 0x94d049bb133111ebull;
+            return z ^ (z >> 31);
+        };
+        step++;
+        for (u32 t = 0, done = 0; done < k && t < 16 * k + 64; ++t) {
+            u32 u = (u32)(rnd() % n);
+            if (!in_s[u])
+                continue;
+            in_s[u] = 0;
+            cost -= wt[u];
+            age[u] = (u32)step;
+            done++;
+        }
+        // greedy repair over the (few) uncovered edges
+        std::vector<u32> uncov;
+        std::vector<u64> gain(n, 0);
+        for (u32 i = 0; i < m; ++i) {
+            if (!in_s[eu[i]] && !in_s[ev[i]]) {
+                uncov.push_back(i);
+                gain[eu[i]] += edge_w[i];
+                gain[ev[i]] += edge_w[i];
+            }
+        }
+        for (u32 id : uncov) {
+            u32 a = eu[id], b = ev[id];
+            if (in_s[a] || in_s[b])
+                continue;
+            u32 v = ((double)gain[a] / wt[a] >= (double)gain[b] / wt[b]) ? a
+                                                                         : b;
+            in_s[v] = 1;
+            cost += wt[v];
+            age[v] = (u32)step;
+            for (u32 j = adj_off[v]; j < adj_off[v + 1]; ++j) {
+                u32 x = adj_nbr[j];
+                if (!in_s[x])
+                    gain[x] -= std::min<u64>(gain[x], edge_w[adj_eid[j]]);
+            }
+        }
+        if (cost < best_seen)
+            best_seen = cost;
+        rebuild_scores();
+    }
+
     // ---- diversification: edge-weight forgetting -------------------------
     // The GNN_VC phase-2 search has no diversification (reference:
     // local_search.hpp); FastWVC's ForgetEdgeWeights (FastWVC/mwvc.h:734)

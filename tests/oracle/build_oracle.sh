@@ -41,6 +41,10 @@ if [ ! -x "$OUT/bench_predict" ] || [ "$1" = "-f" ]; then
   fi
 fi
 
+if [ ! -x "$OUT/ls_oracle" ] || [ "$1" = "-f" ]; then
+  g++ $CXXFLAGS -o "$OUT/ls_oracle" "$HERE/ls_oracle.cpp"
+fi
+
 # Comparison-solver baselines (differential quality runs; same METIS input).
 for S in DynWVC2 FastWVC; do
   if [ ! -x "$OUT/$S" ] || [ "$1" = "-f" ]; then
