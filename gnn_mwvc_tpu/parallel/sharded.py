@@ -2,17 +2,24 @@
 
 Design (SURVEY.md §2.4 / §5 "long-context" entry): nodes are partitioned into
 P contiguous, equally padded ranges; every directed edge (dst-sorted COO) is
-owned by the shard that owns its destination row.  A graph-layer round is then
+owned by the shard that owns its destination row.  A graph-layer round is
 
-    1. all-gather the (small, width <= 16) node feature block over the
-       "graph" axis — the halo exchange; XLA lowers it to ICI ring steps,
-    2. a purely local gather + sorted segment-sum over owned edges,
-    3. local stat columns (D, W/ws, NW/ws are node-sharded).
+    1. pack the boundary ("halo") features each peer needs — per-shard index
+       sets precomputed at partition time — and exchange them with ONE
+       `lax.all_to_all` over the "graph" axis (XLA lowers it to ICI ring
+       steps).  Communicated bytes per chip are proportional to the boundary
+       size (P * h_max * width * 4), NOT to the total node count,
+    2. aggregate interior edges (locally owned sources) with a sorted
+       segment-sum that does not depend on the collective — XLA's
+       latency-hiding scheduler overlaps the halo exchange with it,
+    3. aggregate boundary edges out of the received halo buffer and add,
+    4. local stat columns (D, W/ws, NW/ws are node-sharded).
 
 Linear/activation layers are node-local, so one inference does exactly
-3 all-gathers.  Autodiff through shard_map turns the all-gather into a
-reduce-scatter in the backward pass, which is what a hand-written DP+graph
-parallel backward would do anyway.
+3 halo exchanges.  Autodiff through shard_map transposes the all_to_all to
+the reverse all_to_all and the halo gather to a scatter-add, which is what a
+hand-written backward would do.  `halo=False` falls back to the round-1
+full feature all-gather (kept for differential testing).
 
 This mirrors the reference's only parallel loop (the per-node neighbor sum,
 reference: src/gnn_inference.cpp:31-41) but scales graph *size* across chips
@@ -46,12 +53,21 @@ class ShardedGraph:
     n: int = dataclasses.field(metadata=dict(static=True))       # real nodes
     n_loc: int = dataclasses.field(metadata=dict(static=True))   # padded nodes/shard
     e_loc: int = dataclasses.field(metadata=dict(static=True))   # padded edges/shard
-    row_loc: jnp.ndarray = None   # (P, e_loc) int32 local dst row in [0, n_loc)
-    col: jnp.ndarray = None       # (P, e_loc) int32 global src node
     weights: jnp.ndarray = None   # (P, n_loc) f32
     degrees: jnp.ndarray = None   # (P, n_loc) f32
     nw: jnp.ndarray = None        # (P, n_loc) f32
     node_mask: jnp.ndarray = None  # (P, n_loc) bool
+    # full-gather mode (halo=False): every edge in one list, global src ids
+    row_loc: jnp.ndarray = None   # (P, e_loc) int32 local dst row in [0, n_loc)
+    col: jnp.ndarray = None       # (P, e_loc) int32 global src node
+    # halo mode: boundary-only exchange
+    h_max: int = dataclasses.field(default=0, metadata=dict(static=True))
+    send_idx: jnp.ndarray = None  # (P, P*h_max) i32 local rows to pack; slot
+    #                               [q*h_max+j] = j-th row peer q needs
+    row_int: jnp.ndarray = None   # (P, e_int) i32 interior dst rows (sorted)
+    col_int: jnp.ndarray = None   # (P, e_int) i32 interior src, local ids
+    row_bnd: jnp.ndarray = None   # (P, e_bnd) i32 boundary dst rows (sorted)
+    col_bnd: jnp.ndarray = None   # (P, e_bnd) i32 boundary src, halo-buffer ids
     # optional stacked per-shard windowed-MXU plans (see ops/blocked.py):
     # tuples of (P, C_s) / (P, C_s, S) arrays per chunk-size class
     blk_src_win: tuple = None
@@ -64,47 +80,50 @@ class ShardedGraph:
 
     @property
     def parts(self) -> int:
-        return self.row_loc.shape[0]
+        return self.weights.shape[0]
 
     @property
     def has_blocked(self) -> bool:
         return self.blk_src_win is not None
 
+    @property
+    def halo(self) -> bool:
+        return self.send_idx is not None
+
+    def halo_bytes_per_chip(self, width: int = 16) -> int:
+        """Bytes moved per chip per graph layer (send side, f32 features)."""
+        if self.halo:
+            return int(self.parts * self.h_max * width * 4)
+        # full all-gather: every other shard's feature block
+        return int((self.parts - 1) * self.n_loc * width * 4)
+
+
+def _pad128(k: int, floor: int = 128) -> int:
+    return int(max(floor, -(-int(k) // 128) * 128))
+
 
 def partition_device_graph(dg: DeviceGraph, parts: int,
-                           aggregation: str = "scatter") -> ShardedGraph:
+                           aggregation: str = "scatter",
+                           halo: bool = True) -> ShardedGraph:
     """Split a DeviceGraph into *parts* contiguous node ranges.
 
     Edges go to the shard owning their destination; per-shard edge slots are
-    padded to the max shard load.  Each shard's padded edge slots point at its
-    local sink row (n_loc - 1), which is never a real node for the last shard
-    (DeviceGraph reserves the global sink) and is masked out for others via
-    row_loc targeting only slots the local node_mask covers.
+    padded to the max shard load.  With halo=True (default), per-peer
+    boundary index sets are precomputed: each shard packs only the feature
+    rows its peers actually reference, one all_to_all exchanges them, and
+    boundary edges read the received halo buffer.  halo=False keeps the
+    full-feature all-gather.
     """
     n_loc = max(-(-dg.n_pad // parts), 8)
     shard = np.minimum(dg.row[: dg.e] // n_loc, parts - 1)
     counts = np.bincount(shard, minlength=parts)
-    e_loc = int(max(128, -(-int(max(counts.max(), 1)) // 128) * 128))
+    e_loc = _pad128(counts.max() if len(counts) else 1)
 
-    # Padded edge slots scatter into segment n_loc — one past the real rows;
-    # the layer stack runs segment_sum with n_loc + 1 segments and drops it.
-    row_loc = np.full((parts, e_loc), n_loc, dtype=np.int32)
-    col = np.zeros((parts, e_loc), dtype=np.int32)
     w = np.zeros((parts, n_loc), dtype=np.float32)
     d = np.zeros((parts, n_loc), dtype=np.float32)
     nw = np.zeros((parts, n_loc), dtype=np.float32)
     mask = np.zeros((parts, n_loc), dtype=bool)
-
-    order = np.argsort(shard, kind="stable")
-    rows_sorted = dg.row[: dg.e][order]
-    cols_sorted = dg.col[: dg.e][order]
-    offsets = np.zeros(parts + 1, dtype=np.int64)
-    np.cumsum(counts, out=offsets[1:])
     for p in range(parts):
-        lo, hi = offsets[p], offsets[p + 1]
-        k = hi - lo
-        row_loc[p, :k] = rows_sorted[lo:hi] - p * n_loc
-        col[p, :k] = cols_sorted[lo:hi]
         nlo, nhi = p * n_loc, min((p + 1) * n_loc, dg.n_pad)
         cnt = max(nhi - nlo, 0)
         if cnt > 0:
@@ -112,24 +131,110 @@ def partition_device_graph(dg: DeviceGraph, parts: int,
             d[p, :cnt] = dg.degrees[nlo:nhi]
             nw[p, :cnt] = dg.nw[nlo:nhi]
             mask[p, :cnt] = dg.node_mask[nlo:nhi]
-    blk = {}
-    if aggregation == "blocked":
-        # per-shard windowed plans over the all-gathered source space,
-        # padded to common shapes so one shard_map program serves all shards
-        from gnn_mwvc_tpu.ops.blocked import build_blocked
 
-        n_src = parts * n_loc
-        plans = []
+    order = np.argsort(shard, kind="stable")
+    rows_sorted = dg.row[: dg.e][order]
+    cols_sorted = dg.col[: dg.e][order]
+    offsets = np.zeros(parts + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+
+    halo = halo and parts > 1
+    fields = {}
+    # per-shard edge lists (local rows); in halo mode sources are remapped
+    # into the extended space [0, n_loc + parts*h_max)
+    loc_rows, loc_cols = [], []
+    if halo:
+        src_shard = np.minimum(cols_sorted // n_loc, parts - 1)
+        # need[p][q] = sorted unique sources on q that p's edges reference
+        need = [[None] * parts for _ in range(parts)]
         for p in range(parts):
             lo, hi = offsets[p], offsets[p + 1]
-            rl = rows_sorted[lo:hi] - p * n_loc
-            cl = cols_sorted[lo:hi]
-            # local CSR (rows sorted within shard by construction)
+            cs, ss = cols_sorted[lo:hi], src_shard[lo:hi]
+            for q in range(parts):
+                if q != p:
+                    need[p][q] = np.unique(cs[ss == q])
+        h_max = max(
+            (len(need[p][q]) for p in range(parts) for q in range(parts)
+             if q != p),
+            default=0,
+        )
+        h_max = int(max(8, -(-h_max // 8) * 8))
+        # sender q packs rows need[p][q] into slot block p
+        send_idx = np.zeros((parts, parts * h_max), dtype=np.int32)
+        for q in range(parts):
+            for p in range(parts):
+                if p != q:
+                    lst = need[p][q] - q * n_loc
+                    send_idx[q, p * h_max: p * h_max + len(lst)] = lst
+        # receiver p remaps boundary source s (j-th in need[p][q]) to halo
+        # slot q*h_max + j; interior source to its local id
+        e_int_max, e_bnd_max = 1, 1
+        per = []
+        for p in range(parts):
+            lo, hi = offsets[p], offsets[p + 1]
+            rl = (rows_sorted[lo:hi] - p * n_loc).astype(np.int64)
+            cs, ss = cols_sorted[lo:hi], src_shard[lo:hi]
+            is_int = ss == p
+            r_i, c_i = rl[is_int], (cs[is_int] - p * n_loc)
+            r_b, cs_b, ss_b = rl[~is_int], cs[~is_int], ss[~is_int]
+            c_b = np.zeros(len(r_b), dtype=np.int64)
+            for q in range(parts):
+                if q == p:
+                    continue
+                sel = ss_b == q
+                if sel.any():
+                    j = np.searchsorted(need[p][q], cs_b[sel])
+                    c_b[sel] = q * h_max + j
+            per.append((r_i, c_i, r_b, c_b))
+            e_int_max = max(e_int_max, len(r_i))
+            e_bnd_max = max(e_bnd_max, len(r_b))
+        e_int, e_bnd = _pad128(e_int_max), _pad128(e_bnd_max)
+        row_int = np.full((parts, e_int), n_loc, dtype=np.int32)
+        col_int = np.zeros((parts, e_int), dtype=np.int32)
+        row_bnd = np.full((parts, e_bnd), n_loc, dtype=np.int32)
+        col_bnd = np.zeros((parts, e_bnd), dtype=np.int32)
+        for p, (r_i, c_i, r_b, c_b) in enumerate(per):
+            row_int[p, : len(r_i)] = r_i
+            col_int[p, : len(c_i)] = c_i
+            row_bnd[p, : len(r_b)] = r_b
+            col_bnd[p, : len(c_b)] = c_b
+            # blocked mode consumes one remapped edge list over the
+            # extended [local | halo] source space
+            loc_rows.append(np.concatenate([r_i, r_b]))
+            loc_cols.append(np.concatenate([c_i, n_loc + c_b]))
+        fields.update(
+            h_max=h_max, send_idx=jnp.asarray(send_idx),
+            row_int=jnp.asarray(row_int), col_int=jnp.asarray(col_int),
+            row_bnd=jnp.asarray(row_bnd), col_bnd=jnp.asarray(col_bnd),
+        )
+    else:
+        row_loc = np.full((parts, e_loc), n_loc, dtype=np.int32)
+        col = np.zeros((parts, e_loc), dtype=np.int32)
+        for p in range(parts):
+            lo, hi = offsets[p], offsets[p + 1]
+            k = hi - lo
+            row_loc[p, :k] = rows_sorted[lo:hi] - p * n_loc
+            col[p, :k] = cols_sorted[lo:hi]
+            loc_rows.append(rows_sorted[lo:hi] - p * n_loc)
+            loc_cols.append(cols_sorted[lo:hi])
+        fields.update(row_loc=jnp.asarray(row_loc), col=jnp.asarray(col))
+
+    if aggregation == "blocked":
+        # per-shard windowed plans over the local source space ([local|halo]
+        # in halo mode, the all-gathered global block otherwise), padded to
+        # common shapes so one shard_map program serves all shards
+        from gnn_mwvc_tpu.ops.blocked import build_blocked
+
+        n_src = (n_loc + parts * fields["h_max"]) if halo else parts * n_loc
+        plans = []
+        for p in range(parts):
+            rl, cl = loc_rows[p], loc_cols[p]
+            srt = np.argsort(rl, kind="stable")
             loc_indptr = np.zeros(n_loc + 1, dtype=np.int64)
             np.add.at(loc_indptr, rl + 1, 1)
             np.cumsum(loc_indptr, out=loc_indptr)
-            plans.append(build_blocked(loc_indptr, cl, n_loc, n_src=n_src,
-                                       as_numpy=True))
+            plans.append(build_blocked(loc_indptr, cl[srt], n_loc,
+                                       n_src=n_src, as_numpy=True))
         ncls = len(plans[0].src_win)
         stk = {k: [] for k in ("sw", "dw", "ls", "ld")}
         for c in range(ncls):
@@ -150,20 +255,67 @@ def partition_device_graph(dg: DeviceGraph, parts: int,
             stk["dw"].append(jnp.asarray(dw))
             stk["ls"].append(jnp.asarray(ls))
             stk["ld"].append(jnp.asarray(ld))
-        blk = dict(
+        fields.update(
             blk_src_win=tuple(stk["sw"]), blk_dst_win=tuple(stk["dw"]),
             blk_lsrc=tuple(stk["ls"]), blk_ldst=tuple(stk["ld"]),
             blk_n_win=plans[0].n_win, blk_n_src_win=plans[0].n_src_win,
         )
     return ShardedGraph(
         n=dg.n, n_loc=n_loc, e_loc=e_loc,
-        row_loc=jnp.asarray(row_loc), col=jnp.asarray(col),
         weights=jnp.asarray(w), degrees=jnp.asarray(d), nw=jnp.asarray(nw),
-        node_mask=jnp.asarray(mask), **blk,
+        node_mask=jnp.asarray(mask), **fields,
     )
 
 
-def _layer_stack(kinds, params, x, row_loc, col, deg, w, nw, ws, n_loc,
+def _exchange_halo(h, send_idx, parts, h_max):
+    """Pack the rows peers need and swap with one all_to_all.
+
+    Returns the (parts*h_max, width) halo buffer: rows [q*h_max + j] = j-th
+    row this shard needs from peer q.  Slot block q of the send buffer holds
+    what peer q needs from us, so the all_to_all transpose lands each block
+    where it is consumed.
+    """
+    send = h.take(send_idx, axis=0).reshape(parts, h_max, h.shape[1])
+    halo = jax.lax.all_to_all(send, "graph", split_axis=0, concat_axis=0,
+                              tiled=False)
+    return halo.reshape(parts * h_max, h.shape[1])
+
+
+def _aggregate(h, g, n_loc, blocked_plan):
+    """One graph-layer neighbor sum under shard_map; g = dict of arrays."""
+    if g.get("send_idx") is not None:  # halo mode
+        parts = jax.lax.axis_size("graph")
+        h_max = g["send_idx"].shape[0] // parts
+        halo = _exchange_halo(h, g["send_idx"], parts, h_max)
+        if blocked_plan is not None:
+            from gnn_mwvc_tpu.ops.blocked import blocked_segment_sum
+
+            h_ext = jnp.concatenate([h, halo], axis=0)
+            return blocked_segment_sum(h_ext, blocked_plan, n_out=n_loc)
+        # interior aggregation is independent of the collective; XLA's
+        # latency-hiding scheduler overlaps the halo exchange with it
+        agg_int = jax.ops.segment_sum(
+            h.take(g["col_int"], axis=0), g["row_int"],
+            num_segments=n_loc + 1, indices_are_sorted=True,
+        )
+        agg_bnd = jax.ops.segment_sum(
+            halo.take(g["col_bnd"], axis=0), g["row_bnd"],
+            num_segments=n_loc + 1, indices_are_sorted=True,
+        )
+        return (agg_int + agg_bnd)[:n_loc]
+    # full-gather fallback
+    h_full = jax.lax.all_gather(h, "graph", axis=0, tiled=True)
+    if blocked_plan is not None:
+        from gnn_mwvc_tpu.ops.blocked import blocked_segment_sum
+
+        return blocked_segment_sum(h_full, blocked_plan, n_out=n_loc)
+    return jax.ops.segment_sum(
+        h_full.take(g["col"], axis=0), g["row_loc"],
+        num_segments=n_loc + 1, indices_are_sorted=True,
+    )[:n_loc]
+
+
+def _layer_stack(kinds, params, x, g, deg, w, nw, ws, n_loc,
                  compat=True, precision=jax.lax.Precision.HIGHEST,
                  blocked_plan=None):
     """Shared layer walk; runs inside shard_map (axis name "graph")."""
@@ -178,18 +330,9 @@ def _layer_stack(kinds, params, x, row_loc, col, deg, w, nw, ws, n_loc,
             h = jnp.maximum(h, 0)
         elif kind == "sigmoid":
             h = jax.nn.sigmoid(h)
-        else:  # graph layer: halo all-gather + local aggregation
+        else:  # graph layer: halo exchange + local aggregation
             width = h.shape[1]
-            h_full = jax.lax.all_gather(h, "graph", axis=0, tiled=True)
-            if blocked_plan is not None:
-                from gnn_mwvc_tpu.ops.blocked import blocked_segment_sum
-
-                agg = blocked_segment_sum(h_full, blocked_plan, n_out=n_loc)
-            else:
-                agg = jax.ops.segment_sum(
-                    h_full.take(col, axis=0), row_loc,
-                    num_segments=n_loc + 1, indices_are_sorted=True,
-                )[:n_loc]
+            agg = _aggregate(h, g, n_loc, blocked_plan)
             stats = jnp.stack([deg, w / ws, nw / ws], axis=1).astype(h.dtype)
             if compat:
                 out = jnp.concatenate(
@@ -201,13 +344,16 @@ def _layer_stack(kinds, params, x, row_loc, col, deg, w, nw, ws, n_loc,
     return h
 
 
-_SG_SPECS = (
-    P("graph", None),  # row_loc
-    P("graph", None),  # col
-    P("graph", None),  # weights
-    P("graph", None),  # degrees
-    P("graph", None),  # nw
-)
+def _edge_arrays(sg: ShardedGraph):
+    """(dict of stacked arrays, matching shard_map in_specs dict)."""
+    if sg.halo:
+        arrs = dict(send_idx=sg.send_idx, row_int=sg.row_int,
+                    col_int=sg.col_int, row_bnd=sg.row_bnd,
+                    col_bnd=sg.col_bnd)
+    else:
+        arrs = dict(row_loc=sg.row_loc, col=sg.col)
+    specs = {k: P("graph", None) for k in arrs}
+    return arrs, specs
 
 
 def make_sharded_forward(kinds, mesh: Mesh, compat: bool = True,
@@ -220,13 +366,15 @@ def make_sharded_forward(kinds, mesh: Mesh, compat: bool = True,
     """
     cache = {}
 
-    def get_fn(has_blocked, n_win, n_src_win, ncls):
-        key = (has_blocked, n_win, n_src_win, ncls)
+    def get_fn(mode_key, n_win, n_src_win, ncls, specs):
+        key = (mode_key, n_win, n_src_win, ncls)
         if key in cache:
             return cache[key]
+        has_blocked = ncls > 0
 
-        def local_fwd(params, core, blk, ws):
-            row_loc, col, w, d, nw = (a[0] for a in core)
+        def local_fwd(params, g, blk, wdnw, ws):
+            w, d, nw = (a[0] for a in wdnw)
+            g = {k: v[0] for k, v in g.items()}
             n_loc = w.shape[0]
             plan = None
             if has_blocked:
@@ -240,7 +388,7 @@ def make_sharded_forward(kinds, mesh: Mesh, compat: bool = True,
                     ldst=tuple(a[0] for a in blk[3]),
                 )
             x = (w / ws).reshape(-1, 1)
-            h = _layer_stack(kinds, params, x, row_loc, col, d, w, nw, ws,
+            h = _layer_stack(kinds, params, x, g, d, w, nw, ws,
                              n_loc, compat=compat, precision=precision,
                              blocked_plan=plan)
             return h[:, 0][None]
@@ -257,7 +405,7 @@ def make_sharded_forward(kinds, mesh: Mesh, compat: bool = True,
         smap = jax.shard_map(
             local_fwd,
             mesh=mesh,
-            in_specs=(P(), (P("graph", None),) * 5, blk_spec, P()),
+            in_specs=(P(), specs, blk_spec, (P("graph", None),) * 3, P()),
             out_specs=P("graph", None),
             check_vma=False,
         )
@@ -266,15 +414,16 @@ def make_sharded_forward(kinds, mesh: Mesh, compat: bool = True,
         return fn
 
     def scorer(params, sg: ShardedGraph, ws):
-        core = (sg.row_loc, sg.col, sg.weights, sg.degrees, sg.nw)
+        g, specs = _edge_arrays(sg)
         if sg.has_blocked:
             blk = (sg.blk_src_win, sg.blk_dst_win, sg.blk_lsrc, sg.blk_ldst)
-            fn = get_fn(True, sg.blk_n_win, sg.blk_n_src_win,
-                        len(sg.blk_src_win))
+            fn = get_fn(("blk", sg.halo), sg.blk_n_win, sg.blk_n_src_win,
+                        len(sg.blk_src_win), specs)
         else:
             blk = ()
-            fn = get_fn(False, 0, 0, 0)
-        return fn(params, core, blk, jnp.float32(ws))
+            fn = get_fn(("sct", sg.halo), 0, 0, 0, specs)
+        return fn(params, g, blk, (sg.weights, sg.degrees, sg.nw),
+                  jnp.float32(ws))
 
     return scorer
 
@@ -285,45 +434,57 @@ def make_sharded_train_step(kinds, mesh: Mesh, lr=0.01, momentum=0.9,
 
     Matches the reference training defaults (reference:
     old_files/src/apps/gnn_train.cpp:72-111, SGD lr 0.01 momentum 0.9); the
-    backward pass is jax.grad through the sharded forward (the all-gather
-    transposes to reduce-scatter automatically).
+    backward pass is jax.grad through the sharded forward (the halo
+    all_to_all transposes to the reverse all_to_all, the halo gather to a
+    scatter-add).
     """
     import optax
 
     tx = optax.sgd(learning_rate=lr, momentum=momentum)
+    cache = {}
 
-    def loss_local(params, row_loc, col, w, d, nw, mask, y, ws):
-        row_loc, col = row_loc[0], col[0]
-        w, d, nw, mask, y = w[0], d[0], nw[0], mask[0], y[0]
-        n_loc = w.shape[0]
-        x = (w / ws).reshape(-1, 1)
-        out = _layer_stack(kinds, params, x, row_loc, col, d, w, nw, ws,
-                           n_loc, compat=compat)
-        err = jnp.where(mask, out[:, 0] - y, 0.0)
-        sse = jax.lax.psum(jnp.sum(err * err), "graph")
-        cnt = jax.lax.psum(jnp.sum(mask.astype(jnp.float32)), "graph")
-        return sse / jnp.maximum(cnt, 1.0)
+    def get_step(specs_key, specs):
+        if specs_key in cache:
+            return cache[specs_key]
 
-    loss_sharded = jax.shard_map(
-        loss_local,
-        mesh=mesh,
-        in_specs=(P(),) + _SG_SPECS + (P("graph", None), P("graph", None), P()),
-        out_specs=P(),
-        check_vma=False,
-    )
+        def loss_local(params, g, wdnw, mask, y, ws):
+            w, d, nw = (a[0] for a in wdnw)
+            g = {k: v[0] for k, v in g.items()}
+            mask, y = mask[0], y[0]
+            n_loc = w.shape[0]
+            x = (w / ws).reshape(-1, 1)
+            out = _layer_stack(kinds, params, x, g, d, w, nw, ws,
+                               n_loc, compat=compat)
+            err = jnp.where(mask, out[:, 0] - y, 0.0)
+            sse = jax.lax.psum(jnp.sum(err * err), "graph")
+            cnt = jax.lax.psum(jnp.sum(mask.astype(jnp.float32)), "graph")
+            return sse / jnp.maximum(cnt, 1.0)
 
-    @jax.jit
-    def step_fn(params, opt_state, row_loc, col, w, d, nw, mask, y, ws):
-        loss, grads = jax.value_and_grad(
-            lambda p: loss_sharded(p, row_loc, col, w, d, nw, mask, y,
-                                   jnp.float32(ws))
-        )(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        loss_sharded = jax.shard_map(
+            loss_local,
+            mesh=mesh,
+            in_specs=(P(), specs, (P("graph", None),) * 3,
+                      P("graph", None), P("graph", None), P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+
+        @jax.jit
+        def step_fn(params, opt_state, g, wdnw, mask, y, ws):
+            loss, grads = jax.value_and_grad(
+                lambda p: loss_sharded(p, g, wdnw, mask, y, jnp.float32(ws))
+            )(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        cache[specs_key] = step_fn
+        return step_fn
 
     def step(params, opt_state, sg: ShardedGraph, y, ws):
-        return step_fn(params, opt_state, sg.row_loc, sg.col, sg.weights,
-                       sg.degrees, sg.nw, sg.node_mask, y, ws)
+        g, specs = _edge_arrays(sg)
+        step_fn = get_step(sg.halo, specs)
+        return step_fn(params, opt_state, g,
+                       (sg.weights, sg.degrees, sg.nw), sg.node_mask, y, ws)
 
     return step, tx
