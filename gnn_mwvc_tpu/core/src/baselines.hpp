@@ -601,6 +601,25 @@ class NuMwvcSolver : public WvcBaseline {
                     must_in[kpick] = 1;
                     any = true;
                 }
+            } else if (c == 2) {
+                // R4: n1, n2 NOT adjacent — if a second non-cover vertex u
+                // with exactly two uncovered edges closes the 4-cycle
+                // v-n1-u-n2 and w(v)+w(u) > w(n1)+w(n2), taking {n1,n2}
+                // dominates covering the cycle through {v,u}
+                // (reference: other_solvers/NuMWVC/wvcp_0123.c:844-949).
+                for (u32 k = g.off[n1]; k < g.off[n1 + 1]; ++k) {
+                    u32 u = g.nbr[k];
+                    if (u == v || in_c[u] || uncov_deg(u) != 2 ||
+                        !adjacent(n2, u))
+                        continue;
+                    if (g.w[v] + g.w[u] > g.w[n1] + g.w[n2]) {
+                        add(n1);
+                        add(n2);
+                        must_in[n1] = must_in[n2] = 1;
+                        any = true;
+                    }
+                    break;
+                }
             }
         }
         return any;
@@ -621,6 +640,249 @@ class NuMwvcSolver : public WvcBaseline {
         if (uncov.empty() && now_weight < best_weight) {
             best_weight = now_weight;
             best_c = in_c;
+        }
+    }
+
+    // reference pipeline: Reduction() rules pin must_in vertices, then the
+    // init_fast edge-greedy cover seeds the search (wvcp_0123.c:1030-1031)
+    void construct_numwvc() {
+        init_uncovered();
+        while (!uncov.empty() && apply_rules()) {
+        }
+        n_init_fast_cover();
+    }
+
+    // ---- the published NuMWVC search ----------------------------------
+    // Faithful to reference other_solvers/NuMWVC/wvcp_0123.c:366-505:
+    // strict-improvement bounded repair (abandon any repair whose running
+    // cost reaches best-1), random-uncovered-edge endpoint selection with
+    // configuration checking, score/cost ratio removal with per-repair
+    // tabu, and +1 inflation of every currently-uncovered edge after each
+    // repair add.  State is self-contained (signed score convention as in
+    // the reference: in-cover score = -loss), initialized from the
+    // rule-based construction's cover.
+    std::vector<i64> nscore;
+    std::vector<u32> new_w;           // dynamic edge weights
+    std::vector<u32> nuncov, nupos;   // uncovered edge stack + position
+    std::vector<uint8_t> nconf, ntabu;
+
+    void n_init_state() {
+        nscore.assign(g.n, 0);
+        new_w.assign(g.m, 1);
+        nuncov.clear();
+        nupos.assign(g.m, UINT32_MAX);
+        nconf.assign(g.n, 1);
+        ntabu.assign(g.n, 0);
+        for (u64 e = 0; e < g.m; ++e) {
+            u32 a = g.eu[e], b = g.ev[e];
+            int cov = (int)in_c[a] + (int)in_c[b];
+            if (cov == 0) {
+                nupos[e] = (u32)nuncov.size();
+                nuncov.push_back((u32)e);
+                nscore[a] += 1;
+                nscore[b] += 1;
+            } else if (cov == 1) {
+                nscore[in_c[a] ? a : b] -= 1;
+            }
+        }
+    }
+
+    void n_add(u32 c) {
+        in_c[c] = 1;
+        now_weight += g.w[c];
+        nscore[c] = -nscore[c];
+        nconf[c] = 0;
+        for (u32 k = g.off[c]; k < g.off[c + 1]; ++k) {
+            u32 j = g.nbr[k], e = g.eid[k];
+            if (nupos[e] != UINT32_MAX) {  // was uncovered
+                u32 last = nuncov.back();
+                nuncov[nupos[e]] = last;
+                nupos[last] = nupos[e];
+                nuncov.pop_back();
+                nupos[e] = UINT32_MAX;
+            }
+            nconf[j] = 1;
+            if (!in_c[j])
+                nscore[j] -= (i64)new_w[e];
+            else
+                nscore[j] += (i64)new_w[e];
+        }
+    }
+
+    void n_remove(u32 c) {
+        in_c[c] = 0;
+        now_weight -= g.w[c];
+        nscore[c] = -nscore[c];
+        nconf[c] = 0;
+        for (u32 k = g.off[c]; k < g.off[c + 1]; ++k) {
+            u32 j = g.nbr[k], e = g.eid[k];
+            nconf[j] = 1;
+            if (!in_c[j]) {  // edge becomes uncovered
+                nupos[e] = (u32)nuncov.size();
+                nuncov.push_back(e);
+                nscore[j] += (i64)new_w[e];
+            } else {
+                nscore[j] -= (i64)new_w[e];
+            }
+        }
+    }
+
+    // max score/cost ratio among removable cover vertices; ties -> older
+    // (reference find_best_in_c, wvcp_0123.c:320-348)
+    u32 n_find_best(bool respect_tabu) const {
+        u32 maxc = UINT32_MAX;
+        for (u32 v = 0; v < g.n; ++v) {
+            if (!in_c[v] || must_in[v] || (respect_tabu && ntabu[v]))
+                continue;
+            if (maxc == UINT32_MAX) {
+                maxc = v;
+                continue;
+            }
+            // nscore[v]/w[v] > nscore[maxc]/w[maxc] ?
+            i64 lhs = nscore[v] * (i64)g.w[maxc];
+            i64 rhs = nscore[maxc] * (i64)g.w[v];
+            if (lhs > rhs ||
+                (lhs == rhs && time_stamp[maxc] > time_stamp[v]))
+                maxc = v;
+        }
+        return maxc;
+    }
+
+    u32 n_uncov_deg_edges(u32 v) const {
+        u32 c = 0;
+        for (u32 k = g.off[v]; k < g.off[v + 1]; ++k)
+            if (nupos[g.eid[k]] != UINT32_MAX)
+                c++;
+        return c;
+    }
+
+    void n_inflate_uncovered() {
+        for (u32 e : nuncov) {
+            new_w[e] += 1;
+            nconf[g.eu[e]] = 1;
+            nconf[g.ev[e]] = 1;
+            nscore[g.eu[e]] += 1;
+            nscore[g.ev[e]] += 1;
+        }
+    }
+
+    void n_update_best(const Clock &clk) {
+        if (now_weight < best_weight) {
+            best_weight = now_weight;
+            best_c = in_c;
+            best_time = clk.elapsed();
+        }
+    }
+
+    // init_fast-style cover (reference wvcp_0123.c:102-214): after the
+    // construction rules pin must_in vertices, cover every remaining edge
+    // with the endpoint of better degree/cost ratio, then drop vertices
+    // covering nothing solely.  Replaces the engine-greedy construction as
+    // the search's starting point (scores here are rebuilt exactly, not the
+    // reference's stale leftovers).
+    void n_init_fast_cover() {
+        for (u64 e = 0; e < g.m; ++e) {
+            u32 a = g.eu[e], b = g.ev[e];
+            if (!in_c[a] && !in_c[b]) {
+                u64 lhs = (u64)g.deg(a) * g.w[b], rhs = (u64)g.deg(b) * g.w[a];
+                u32 pick = lhs > rhs ? a : b;
+                in_c[pick] = 1;
+                now_weight += g.w[pick];
+            }
+        }
+        // solely-covered edge counts; drop redundant cover vertices
+        std::vector<u32> solo(g.n, 0);
+        for (u64 e = 0; e < g.m; ++e) {
+            u32 a = g.eu[e], b = g.ev[e];
+            if (in_c[a] != in_c[b])
+                solo[in_c[a] ? a : b]++;
+        }
+        for (u32 v = 0; v < g.n; ++v) {
+            if (in_c[v] && !must_in[v] && solo[v] == 0) {
+                in_c[v] = 0;
+                now_weight -= g.w[v];
+                for (u32 k = g.off[v]; k < g.off[v + 1]; ++k) {
+                    u32 x = g.nbr[k];
+                    if (in_c[x] && !in_c[v])
+                        solo[x]++;
+                }
+            }
+        }
+        if (now_weight < best_weight) {
+            best_weight = now_weight;
+            best_c = in_c;
+        }
+    }
+
+    void numwvc_search(double cutoff) {
+        Clock clk;
+        n_init_state();
+        u64 no_improve = 0;
+        int num_remove = 3;
+        while (clk.elapsed() < cutoff) {
+            if (nuncov.empty()) {
+                if (now_weight < best_weight) {
+                    n_update_best(clk);
+                    no_improve = 0;
+                } else {
+                    no_improve++;
+                }
+                u32 maxc = n_find_best(false);
+                if (maxc == UINT32_MAX)
+                    return;
+                n_remove(maxc);
+                time_stamp[maxc] = (u32)step;
+                continue;
+            }
+            if (num_remove > 1 && no_improve <= 100) {
+                num_remove--;
+                no_improve = 0;
+            }
+            for (int hh = 0; hh < num_remove; ++hh) {
+                u32 v = n_find_best(true);
+                if (v == UINT32_MAX)
+                    break;
+                n_remove(v);
+                time_stamp[v] = (u32)step;
+            }
+            std::fill(ntabu.begin(), ntabu.end(), 0);
+            while (!nuncov.empty()) {
+                if (now_weight + 1 >= best_weight)  // bounded repair
+                    break;
+                u32 e = nuncov[rng() % nuncov.size()];
+                u32 maxc = UINT32_MAX;
+                bool have_ratio = false;  // maxc picked by score/cost ratio
+                u32 ends[2] = {g.eu[e], g.ev[e]};
+                for (u32 j : ends) {
+                    if (nconf[j] == 0) {
+                        // CC-blocked: only usable if it alone finishes the
+                        // repair under the cost bound (reference
+                        // wvcp_0123.c:443-459); never overrides a
+                        // ratio-selected candidate
+                        if (now_weight + g.w[j] >= best_weight)
+                            continue;
+                        if (!have_ratio &&
+                            n_uncov_deg_edges(j) == nuncov.size())
+                            maxc = j;
+                    } else if (!have_ratio) {
+                        maxc = j;
+                        have_ratio = true;
+                    } else {
+                        i64 lhs = nscore[j] * (i64)g.w[maxc];
+                        i64 rhs = nscore[maxc] * (i64)g.w[j];
+                        if (lhs > rhs || (lhs == rhs &&
+                                          time_stamp[maxc] > time_stamp[j]))
+                            maxc = j;
+                    }
+                }
+                if (maxc == UINT32_MAX)
+                    break;  // both endpoints CC-blocked (reference UB path)
+                n_add(maxc);
+                ntabu[maxc] = 1;
+                time_stamp[maxc] = (u32)step;
+                n_inflate_uncovered();
+            }
+            step++;
         }
     }
 };

@@ -577,8 +577,8 @@ u64 mwvc_baseline_solve(int which, u32 n, const u32 *w, u64 m, const u32 *eu,
     }
     if (which == 2) {
         NuMwvcSolver s2(n, w, m, eu, ev, seed);
-        s2.construct_with_rules();
-        s2.search(cutoff);
+        s2.construct_numwvc();
+        s2.numwvc_search(cutoff);
         for (u32 v = 0; v < n; ++v)
             vc[v] = s2.best_c[v];
         if (best_time)

@@ -210,12 +210,22 @@ def solve(
     reorder: bool = False,
     metrics=None,
     ls_forget_after: int = 0,
+    ls_ils_stall: int = 256,
+    ls_ils_k: int = 16,
+    ls_seed: int = 1,
 ) -> SolveResult:
-    """ls_forget_after > 0 enables phase-2 diversification beyond the
-    reference semantics: after that many consecutive non-improving search
-    batches at the step-size floor, the learned edge weights are decayed
-    (CoreLocalSearch.forget) to flatten the dscore landscape.  0 (default)
-    keeps exact reference phase-2 behavior."""
+    """Phase-2 diversification (beyond the reference's plain search):
+
+    ls_ils_stall > 0 (default 256) enables the ILS schedule: after that many
+    consecutive non-improving batches at the step-size floor, restore the
+    best cover and kick it with a force-k perturbation (k doubles while
+    kicks fail to find a new best, resets on success — the HILS adaptive
+    pattern).  Measured on the road900 kernel: plain search plateaus ~17k
+    above where the ILS lands at equal step budgets (BASELINE.md round 2).
+    Set ls_ils_stall=0 for exact reference phase-2 behavior.
+
+    ls_forget_after > 0 instead decays learned edge weights on stall
+    (FastWVC ForgetEdgeWeights; kept for experiments, off by default)."""
     t_start = time.perf_counter()
     if g.n == 0:
         return SolveResult(np.zeros(0, np.int8), 0, 0, 0.0, 0.0, 0.0, 0, 0,
@@ -285,6 +295,9 @@ def solve(
     last_ckpt = t2
     step_size = seed_step_size
     stalled = 0
+    kicks = 0
+    k_cur = ls_ils_k
+    best_at_kick = 1 << 62
     while time_gnn + (time.perf_counter() - t2) < time_limit:
         remaining = time_limit - time_gnn - (time.perf_counter() - t2)
         if ls.search(step_size, remaining):
@@ -310,11 +323,23 @@ def solve(
                 last_ckpt = t_best
         else:
             step_size = max(step_size // 2, 1 << 10)
-            if ls_forget_after and step_size == 1 << 10:
+            if step_size == 1 << 10:
                 stalled += 1
-                if stalled >= ls_forget_after:
+                if ls_forget_after and stalled >= ls_forget_after:
                     ls.forget(0.3)
                     stalled = 0
+                elif ls_ils_stall and stalled >= ls_ils_stall:
+                    # adaptive ILS kick (see docstring)
+                    stalled = 0
+                    kicks += 1
+                    if ls.best_cost < best_at_kick:
+                        k_cur = ls_ils_k
+                    else:
+                        k_cur = min(k_cur * 2, 4096)
+                    best_at_kick = ls.best_cost
+                    ls.restore_best()
+                    ls.perturb(k_cur, ls_seed + kicks)
+                    step_size = 1 << 16
 
     # write the best cover back into the core solution (cost adjusted with
     # kernel-state weights, as the reference's get_cover does)

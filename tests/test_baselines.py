@@ -56,3 +56,29 @@ def test_baseline_determinism():
                        cutoff=0.5)
     # same seed, same budget: costs should coincide on a small instance
     assert a[0] == b[0]
+
+
+def test_numwvc_road_differential():
+    """Road-class quality gate vs the reference NuMWVC binary (VERDICT
+    round-1 item 4): our NuMWVC must match the binary within noise on
+    road90 at an equal cutoff (we currently beat it by ~0.7%)."""
+    import os
+    import subprocess
+
+    ref = "/tmp/gnn_mwvc_oracle/NuMWVC"
+    if not os.path.exists(ref):
+        pytest.skip("reference NuMWVC oracle not built")
+    import bench
+    from gnn_mwvc_tpu.graphio import write_metis
+
+    g = bench.build_road_graph(90)
+    path = "/tmp/road90_diff.metis"
+    if not os.path.exists(path):
+        write_metis(path, g)
+    out = subprocess.run([ref, path, "1", "3"], capture_output=True,
+                         text=True, timeout=60)
+    ref_cost = int(out.stdout.strip().split(",")[1])
+    cost, vc, _ = baseline_solve("numwvc", g.weights, g.edge_array(),
+                                 seed=1, cutoff=3.0)
+    assert is_vertex_cover(g, vc)
+    assert cost <= ref_cost * 1.002, (cost, ref_cost)

@@ -55,6 +55,8 @@ def main(argv=None):
     batch = 0
     stalled = 0
     events = 0
+    k_cur = args.k
+    best_at_kick = 1 << 62
     max_steps = args.steps or (1 << 62)
     print(f"init,0,0.0,{ls.best_cost + c0},{ls.best_cost + c0}", flush=True)
     while el() < args.time and total < max_steps:
@@ -77,12 +79,23 @@ def main(argv=None):
                     elif args.variant == "restart":
                         ls.restore_best()
                     elif args.variant == "perturb":
+                        # adaptive ILS kick: restore the best cover, remove
+                        # k random cover vertices + greedy repair; k doubles
+                        # while kicks fail to find a new best, resets on
+                        # success (HILS-style adaptive perturbation)
+                        if ls.best_cost < best_at_kick:
+                            k_cur = args.k
+                        else:
+                            k_cur = min(k_cur * 2, 4096)
+                        best_at_kick = ls.best_cost
                         ls.restore_best()
-                        ls.perturb(args.k, args.seed + events)
+                        ls.perturb(k_cur, args.seed + events)
+                        step_size = 1 << 16
                     elif args.variant == "fw":
                         ls.restore_best()
                         ls.forget(args.scale)
-                    print(f"div,{total},{el():.2f},{events}", flush=True)
+                    print(f"div,{total},{el():.2f},{events},k={k_cur}",
+                          flush=True)
         if batch % 4096 == 0:
             print(f"tick,{total},{el():.2f},{ls.best_cost + c0},"
                   f"{ls.best_seen + c0}", flush=True)
