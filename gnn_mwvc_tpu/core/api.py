@@ -111,6 +111,12 @@ def _load():
                                          ct.c_double, ct.c_int, u8p,
                                          ct.POINTER(ct.c_double)],
                                         ct.c_uint64),
+                "mwvc_hils_solve": ([ct.c_uint32, u32p, ct.c_uint64, u32p,
+                                     u32p, ct.c_uint32, ct.c_double,
+                                     ct.c_uint64, ct.c_int, ct.c_int,
+                                     ct.c_int, ct.c_int, ct.c_uint64, u8p,
+                                     ct.POINTER(ct.c_double)],
+                                    ct.c_uint64),
                 "mwvc_unfold": ([c, ct.c_uint64], None),
                 "mwvc_get_solution": ([c, i8p], None),
                 "mwvc_preview_solution": ([c, i8p], None),
@@ -411,11 +417,17 @@ def greedy_cover(weights, edges):
 BASELINE_IDS = {"fastwvc": 0, "dynwvc2": 1, "numwvc": 2, "hils": 3}
 
 
-def baseline_solve(which, weights, edges, seed=1, cutoff=10.0, cc_mode=3):
+def baseline_solve(which, weights, edges, seed=1, cutoff=10.0, cc_mode=3,
+                   iterations=None, p=None, target=None):
     """Run a comparison baseline solver; returns (cost, cover, time_to_best).
 
     which: "fastwvc" | "dynwvc2" | "numwvc" | "hils" (hils solves MWIS and
     returns the complement cover; cost = total weight - IS weight).
+
+    hils only (the reference ArgPack flag surface, HILS/ArgPack.h:25-62):
+    iterations (-i, default 2,000,000 = ArgPack.cpp:29), p = 4
+    intensification params (-p, default (2,4,4,1)), target = stop once the
+    IS weight reaches it (-target).
     """
     import ctypes as _ct
 
@@ -423,6 +435,16 @@ def baseline_solve(which, weights, edges, seed=1, cutoff=10.0, cc_mode=3):
     w, eu, ev = _flat_edges(weights, edges)
     vc = np.zeros(len(w), dtype=np.uint8)
     tbest = _ct.c_double(0.0)
+    if which == "hils" and (iterations is not None or p is not None
+                            or target is not None):
+        p = tuple(p) if p is not None else (2, 4, 4, 1)
+        cost = lib.mwvc_hils_solve(
+            len(w), w, len(eu), eu, ev, seed, cutoff,
+            int(iterations if iterations is not None else 2_000_000),
+            int(p[0]), int(p[1]), int(p[2]), int(p[3]),
+            int(target or 0), vc, _ct.byref(tbest),
+        )
+        return int(cost), vc, float(tbest.value)
     cost = lib.mwvc_baseline_solve(
         BASELINE_IDS[which], len(w), w, len(eu), eu, ev, seed, cutoff,
         cc_mode, vc, _ct.byref(tbest),

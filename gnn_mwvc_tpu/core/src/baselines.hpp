@@ -1054,8 +1054,10 @@ class HilsSolver {
         }
     }
 
+    // target > 0 stops the search once the IS weight reaches it
+    // (reference: HILS/main.cpp:312, ArgPack.h "-target")
     void run(double cutoff, u64 max_iters = 2'000'000, int p0 = 2, int p1 = 4,
-             int p2 = 4, int p3 = 1) {
+             int p2 = 4, int p3 = 1, u64 target = 0) {
         Clock clk;
         make_maximal();
         while ((omega_improvement() || two_improvement()) &&
@@ -1067,7 +1069,8 @@ class HilsSolver {
         i64 k = 1;
         u64 local_best = weight;
         auto state = save();
-        for (u64 iter = 0; iter < max_iters && clk.elapsed() < cutoff;
+        for (u64 iter = 0; iter < max_iters && clk.elapsed() < cutoff &&
+                           !(target && best_weight >= target);
              ++iter) {
             auto cur = save();
             force(p0);

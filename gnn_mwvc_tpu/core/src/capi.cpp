@@ -557,6 +557,27 @@ u64 mwvc_greedy_construct(u32 n, const u32 *w, u64 m, const u32 *eu,
 // solver: 0 = FastWVC, 1 = DynWVC2, 2 = NuMWVC, 3 = HILS (MWIS).
 // Returns best cover cost (for HILS: total weight - best IS weight) and
 // fills vc; best_time receives seconds-to-best.
+// HILS with the reference's full flag surface (ArgPack.h: -i iterations,
+// -p p1,p2,p3,p4 intensification params, -target); MWVC = complement cost.
+u64 mwvc_hils_solve(u32 n, const u32 *w, u64 m, const u32 *eu, const u32 *ev,
+                    u32 seed, double cutoff, u64 max_iters, int p0, int p1,
+                    int p2, int p3, u64 target, uint8_t *vc,
+                    double *best_time) {
+    using namespace baselines;
+    HilsSolver h(n, w, m, eu, ev, seed);
+    h.run(cutoff, max_iters, p0, p1, p2, p3, target);
+    u64 total = 0;
+    for (u32 v = 0; v < n; ++v) {
+        vc[v] = 1;
+        total += w[v];
+    }
+    for (u32 v : h.best_set)
+        vc[v] = 0;
+    if (best_time)
+        *best_time = h.best_time;
+    return total - h.best_weight;
+}
+
 u64 mwvc_baseline_solve(int which, u32 n, const u32 *w, u64 m, const u32 *eu,
                         const u32 *ev, u32 seed, double cutoff, int cc_mode,
                         uint8_t *vc, double *best_time) {

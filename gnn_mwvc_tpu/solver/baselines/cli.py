@@ -27,6 +27,17 @@ def main(argv=None):
     ap.add_argument("cutoff", type=float, nargs="?", default=10.0)
     ap.add_argument("cc_mode", type=int, nargs="?", default=3)
     ap.add_argument("--out", default=None, help="write 0/1 cover file")
+    # HILS flag surface (reference: other_solvers/HILS/ArgPack.h:25-62)
+    ap.add_argument("-i", "--iterations", type=int, default=None,
+                    help="hils: max ILS iterations (default 2,000,000)")
+    ap.add_argument("-p", default=None,
+                    help="hils: 4 comma-separated intensification params "
+                         "(default 2,4,4,1)")
+    ap.add_argument("--target", type=int, default=None,
+                    help="hils: stop once the IS weight reaches this")
+    ap.add_argument("--complement", action="store_true",
+                    help="hils: solve the complement graph (the reference's "
+                         "-complement; quadratic edge count — small graphs)")
     args = ap.parse_args(argv)
 
     from gnn_mwvc_tpu.core import baseline_solve
@@ -38,9 +49,31 @@ def main(argv=None):
     )
 
     g = read_metis(args.graph)
+    edges = g.edge_array()
+    if args.complement:
+        if args.solver != "hils":
+            ap.error("--complement is a hils flag")
+        if g.n > 30_000:
+            ap.error("--complement builds a dense graph; n too large")
+        adj = np.zeros((g.n, g.n), dtype=bool)
+        adj[edges[:, 0], edges[:, 1]] = True
+        adj |= adj.T
+        np.fill_diagonal(adj, True)
+        cu, cv = np.nonzero(np.triu(~adj, 1))
+        edges = np.stack([cu, cv], axis=1)
+        from gnn_mwvc_tpu.graph import Graph
+
+        g = Graph(g.weights, edges)  # validate against the solved graph
+    hils_kw = {}
+    if args.solver == "hils":
+        hils_kw = dict(
+            iterations=args.iterations,
+            p=[int(x) for x in args.p.split(",")] if args.p else None,
+            target=args.target,
+        )
     cost, vc, t_best = baseline_solve(
-        args.solver, g.weights, g.edge_array(), seed=args.seed,
-        cutoff=args.cutoff, cc_mode=args.cc_mode,
+        args.solver, g.weights, edges, seed=args.seed,
+        cutoff=args.cutoff, cc_mode=args.cc_mode, **hils_kw,
     )
     if not is_vertex_cover(g, vc):
         print("Result is not a vertex cover")
