@@ -14,7 +14,10 @@ occupancy is high, ELL gathers otherwise.
 
 Timing is chained (each iteration's input depends on the previous output) so
 the runtime cannot elide repeated executions, and the per-iteration work is
-identical to one peel-round scoring pass.
+identical to one peel-round scoring pass — including the precision: the
+forward runs at the production setting (Precision.HIGHEST everywhere, the
+config the 2e-5 activation-parity tests certify; round-3 precision study in
+BASELINE.md measured DEFAULT's score error at 1.4e-2 and rejected it).
 
 vs_baseline: the reference C++ implementation (single-threaded, real
 OpenBLAS sgemm, -O3 -march=native) measured on THIS machine and THE SAME
@@ -118,7 +121,6 @@ def main():
         out = forward(
             Model(kinds=kinds, params=params, name=name),
             x.astype(jnp.float32), dg, weight_scale,
-            precision=jax.lax.Precision.DEFAULT,
             x_is_node_weights=True,
         )
         return out[:, :1]

@@ -77,6 +77,7 @@ def graph_layer(
     ell=None,
     agg: jnp.ndarray | None = None,
     blocked=None,
+    precision=None,
 ) -> jnp.ndarray:
     """One message-passing round over a padded graph.
 
@@ -85,13 +86,16 @@ def graph_layer(
     the windowed MXU block plan (locality-ordered graphs, ops/blocked.py),
     the multi-level ELL plan (gather + tree sums, see ops/aggregate.py), or
     the sorted-COO scatter fallback (fine on CPU, pathological on TPU).
+
+    precision only affects the windowed-MXU path (its one-hot einsums); the
+    ELL/scatter paths are gather+add and exact at any setting.
     """
     n_pad, w = x.shape
     if agg is None:
         if blocked is not None:
             from gnn_mwvc_tpu.ops.blocked import blocked_segment_sum
 
-            agg = blocked_segment_sum(x, blocked)
+            agg = blocked_segment_sum(x, blocked, precision=precision)
         elif ell is not None:
             from gnn_mwvc_tpu.ops.aggregate import ell_segment_sum
 
@@ -124,9 +128,11 @@ def forward(
 ) -> jnp.ndarray:
     """Run the layer sequence; returns (n_pad, out_width) activations.
 
-    precision: HIGHEST (default) keeps fp32 MXU passes for activation parity
-    with the fp32 CPU reference; pass DEFAULT/bf16 inputs for the fast path
-    (the model is bandwidth-bound, so this mostly matters for parity tests).
+    precision: applies to BOTH the linear-layer dots and the windowed-MXU
+    aggregation einsums.  HIGHEST (default) keeps full fp32 MXU passes for
+    activation parity with the fp32 CPU reference; DEFAULT runs single-pass
+    bf16 MXU (speed/error trade measured in BASELINE.md's round-3 precision
+    study; production and bench.py run the same setting).
 
     x_is_node_weights: set when x == (W/ws, ) — the standard pipeline input
     (reference: src/GNN_VC.cpp:189-191).  The first message-passing round is
@@ -166,7 +172,7 @@ def forward(
             h = graph_layer(
                 h, dg.row, dg.col, dg.degrees, dg.weights, dg.nw,
                 weight_scale, compat=compat, ell=dg.ell, agg=agg,
-                blocked=dg.blocked,
+                blocked=dg.blocked, precision=precision,
             )
             first_graph = False
         else:

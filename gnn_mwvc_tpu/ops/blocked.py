@@ -156,7 +156,7 @@ def pad_plan_like(plan: BlockedPlan, tmpl: BlockedPlan) -> BlockedPlan | None:
 
 
 def _class_partials(xw, src_win, dst_win, lsrc, ldst, dtype,
-                    n_dst_win, chunk_batch=8192):
+                    n_dst_win, chunk_batch=8192, precision=None):
     """One size class -> (n_dst_win, WIN, w) aggregated window partials."""
     n_win = n_dst_win
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, WIN), 2)
@@ -168,11 +168,13 @@ def _class_partials(xw, src_win, dst_win, lsrc, ldst, dtype,
         gathered = jnp.einsum(
             "bcw,bwf->bcf", oh_src, xs,
             preferred_element_type=jnp.float32,
+            precision=precision,
         )
         oh_dst = (ld[:, :, None] == iota).astype(dtype)   # (B, S, WIN)
         partial = jnp.einsum(
             "bcd,bcf->bdf", oh_dst, gathered,
             preferred_element_type=jnp.float32,
+            precision=precision,
         ).astype(dtype)
         return partial
 
@@ -201,12 +203,18 @@ def _class_partials(xw, src_win, dst_win, lsrc, ldst, dtype,
 
 
 def blocked_segment_sum(x: jnp.ndarray, plan: BlockedPlan,
-                        n_out: int | None = None) -> jnp.ndarray:
+                        n_out: int | None = None,
+                        precision=None) -> jnp.ndarray:
     """agg[u] = sum over v in N(u) of x[v], via windowed MXU matmuls.
 
     x indexes the source space (n_src_win windows); the output has
     plan.n_win * WIN rows sliced to n_out (defaults to len(x), the
     single-device case where src and dst spaces coincide).
+
+    precision: the one-hot einsums' MXU precision.  None = backend default
+    (bf16 passes on TPU); HIGHEST keeps full fp32 (3-pass) for activation
+    parity.  The one-hot operands are exact in bf16, so DEFAULT's only error
+    is the bf16 rounding of the feature operand (~2^-9 relative).
     """
     w = x.shape[1]
     n_src_win = plan.n_src_win or plan.n_win
@@ -218,6 +226,7 @@ def blocked_segment_sum(x: jnp.ndarray, plan: BlockedPlan,
         part = _class_partials(
             xw, plan.src_win[i], plan.dst_win[i], plan.lsrc[i],
             plan.ldst[i], x.dtype, n_dst_win=plan.n_win,
+            precision=precision,
         )
         agg = part if agg is None else agg + part
     if n_out is None:

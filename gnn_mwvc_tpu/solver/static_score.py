@@ -56,7 +56,7 @@ from gnn_mwvc_tpu.models.gnn import forward
 __all__ = ["StickyGnnScorer"]
 
 
-def _make_sticky_fn(kinds, name, compat):
+def _make_sticky_fn(kinds, name, compat, precision="highest"):
     """One fused device call per round: scatter the per-node deltas into the
     persistent (donated) feature buffers, then run the masked forward.
 
@@ -81,7 +81,7 @@ def _make_sticky_fn(kinds, name, compat):
         x = (wts / weight_scale).reshape(-1, 1) * m[:, None]
         out = forward(
             Model(kinds=kinds, params=params, name=name),
-            x, dg_live, weight_scale, compat=compat,
+            x, dg_live, weight_scale, compat=compat, precision=precision,
             x_is_node_weights=True, source_mask=m,
         )
         return out[:, 0], wts, nws, degs, mask
@@ -99,7 +99,9 @@ class StickyGnnScorer:
                  rebuild_active_frac: float = 0.0,
                  rebuild_gadget_frac: float = 0.02,
                  compat: bool = True,
-                 force_sticky: bool = False):
+                 force_sticky: bool = False,
+                 precision: str = "highest",
+                 warm_overlap="auto"):
         # rebuild_active_frac defaults to 0: scoring a non-shrinking static
         # shape costs single-digit ms extra on device, while every rebuild
         # mints a NEW program shape whose one-time compile/load through the
@@ -113,7 +115,8 @@ class StickyGnnScorer:
         self.rebuild_active_frac = rebuild_active_frac
         self.rebuild_gadget_frac = rebuild_gadget_frac
         self._cpu_dev, self._tpu_dev = pick_devices()
-        self._fn = _make_sticky_fn(self.model.kinds, self.model.name, compat)
+        self._fn = _make_sticky_fn(self.model.kinds, self.model.name, compat,
+                                   precision=precision)
         self._state = None  # (dg, snap_ids, built_size, built_active, device)
         self._bufs = None   # persistent device feature buffers
         self._prev = None   # host copies for delta detection
@@ -128,6 +131,22 @@ class StickyGnnScorer:
         # CPU-mesh experiments).
         self.force_sticky = force_sticky
         self._legacy = None
+        # Warm overlap (phase-1 tail shrink): the FIRST device call of a
+        # process pays the one-time program compile/load through the
+        # remote-compile relay (measured 30-314 s, BASELINE.md).  Instead of
+        # blocking the peel on it, dispatch that call in a background thread
+        # and score the in-flight rounds with the exact CPU forward (the
+        # same model, fp32 — only ordering-neutral fp noise differs); once
+        # the device program is live every later round takes the normal
+        # sticky path.  "auto" = on when an accelerator is present; tests
+        # pass True to exercise the machinery on the CPU backend.
+        self.warm_overlap = (
+            self._tpu_dev is not None if warm_overlap == "auto"
+            else bool(warm_overlap)
+        )
+        self._warmed = False
+        self._pending = None  # {"thread", "out", "t0"}
+        self._cpu_fallback = None
 
     # -- plan lifecycle --------------------------------------------------
     def _rebuild(self, core):
@@ -178,16 +197,63 @@ class StickyGnnScorer:
         gadgets = core.n_nodes - built_size
         return gadgets > self.rebuild_gadget_frac * max(built_active, 1)
 
-    def _score_legacy(self, core, weight_scale: float):
-        if self._legacy is None:
-            from gnn_mwvc_tpu.solver.pipeline import GnnScorer
+    def _score_legacy(self, core, weight_scale: float, force_cpu=False):
+        from gnn_mwvc_tpu.solver.pipeline import GnnScorer
 
-            self._legacy = GnnScorer(self.model,
-                                     tpu_min_edges=self.tpu_min_edges)
+        if force_cpu:
+            # warm-overlap fallback: the accelerator is busy loading the
+            # sticky program — never route the stopgap round to it
+            if self._cpu_fallback is None:
+                self._cpu_fallback = GnnScorer(self.model,
+                                               tpu_min_edges=1 << 62)
+            scorer = self._cpu_fallback
+        else:
+            if self._legacy is None:
+                self._legacy = GnnScorer(self.model,
+                                         tpu_min_edges=self.tpu_min_edges)
+            scorer = self._legacy
         snap = core.snapshot()
-        prob = self._legacy(snap, weight_scale)
+        prob = scorer(snap, weight_scale)
         self.stats["legacy_rounds"] += 1
         return snap.ids, prob.astype(np.float32), snap.weights, snap.deg
+
+    # -- warm overlap ------------------------------------------------------
+    def _dispatch_async(self, args):
+        """Run the first fused call in a daemon thread; the thread owns the
+        donated buffers until harvested."""
+        import threading
+
+        import jax
+
+        holder = {}
+
+        def run():
+            try:
+                out = self._fn(*args)
+                jax.block_until_ready(out)
+                holder["out"] = out
+            except Exception as exc:  # surfaced at harvest
+                holder["err"] = exc
+
+        th = threading.Thread(target=run, daemon=True,
+                              name="sticky-warmup")
+        th.start()
+        self._pending = {"thread": th, "holder": holder,
+                         "t0": time.perf_counter()}
+
+    def _harvest_pending(self):
+        p = self._pending
+        p["thread"].join()
+        self._pending = None
+        if "err" in p["holder"]:
+            raise p["holder"]["err"]
+        out = p["holder"]["out"]
+        # out[0] is the dispatch-round score — that round was already
+        # decided from the CPU stopgap; keep only the live device buffers
+        self._bufs = tuple(out[1:])
+        self._warmed = True
+        self.stats["t_warmup_s"] = round(
+            time.perf_counter() - p["t0"], 1)
 
     # -- per-round scoring ----------------------------------------------
     def score_core(self, core, weight_scale: float):
@@ -200,6 +266,16 @@ class StickyGnnScorer:
             if self._tpu_dev is None or e_live < self.tpu_min_edges:
                 self._state = None  # kernel shrank below the sticky regime
                 return self._score_legacy(core, weight_scale)
+
+        if self._pending is not None:
+            if self._pending["thread"].is_alive():
+                # device program still loading: stopgap round on the CPU
+                self.stats["overlap_rounds"] = (
+                    self.stats.get("overlap_rounds", 0) + 1
+                )
+                self.stats["seconds_prep"] += time.perf_counter() - t0
+                return self._score_legacy(core, weight_scale, force_cpu=True)
+            self._harvest_pending()
 
         if self._needs_rebuild(core):
             self._rebuild(core)  # accounts its own prep time
@@ -252,8 +328,20 @@ class StickyGnnScorer:
         self._prev = (w_r, nw_r, deg_r, act_r)
         self.stats["seconds_prep"] += time.perf_counter() - t0
 
-        out = self._fn(self.model.params, *self._bufs, idx, vw, vnw, vdeg,
-                       vm, dg, np.float32(weight_scale))
+        args = (self.model.params, *self._bufs, idx, vw, vnw, vdeg, vm, dg,
+                np.float32(weight_scale))
+        if self.warm_overlap and not self._warmed:
+            # first device call of the process: pays the one-time program
+            # compile/load through the relay — dispatch it off-thread (it
+            # applies this round's deltas, so the buffers stay coherent)
+            # and decide this round from the exact CPU forward instead
+            self._bufs = None  # donated to the pending call
+            self._dispatch_async(args)
+            self.stats["overlap_rounds"] = (
+                self.stats.get("overlap_rounds", 0) + 1
+            )
+            return self._score_legacy(core, weight_scale, force_cpu=True)
+        out = self._fn(*args)
         prob, *bufs = out
         self._bufs = tuple(bufs)
         prob = np.asarray(prob)

@@ -74,6 +74,46 @@ def test_solve_sticky_default_end_to_end():
         assert res_sticky.cost <= res_legacy.cost * 1.01
 
 
+def test_warm_overlap_end_to_end():
+    """warm_overlap dispatches the first device call off-thread and scores
+    the in-flight rounds with the exact CPU forward; the solve must stay
+    valid and the scorer must converge to the sticky path once warmed."""
+    g = random_graph(2000, 10, seed=1, wmax=200)
+    scorer = StickyGnnScorer(force_sticky=True, warm_overlap=True)
+    res = solve(g, time_limit=1.5, scorer=scorer)
+    assert is_vertex_cover(g, res.solution)
+    assert cover_cost(g, res.solution) == res.cost
+    # at least the dispatch round fell back to the CPU stopgap
+    assert scorer.stats.get("overlap_rounds", 0) >= 1
+    # the warmup call was harvested (or is still pending if phase 1 was
+    # one round long); once harvested the sticky path served later rounds
+    if scorer._warmed:
+        assert "t_warmup_s" in scorer.stats
+        assert scorer._bufs is not None
+
+
+def test_warm_overlap_scores_match_sticky():
+    """CPU stopgap scores and sticky scores agree on the same core state."""
+    g = random_graph(800, 8, seed=11, wmax=100)
+    ws = float(g.weights.max())
+    core = CoreSolver(g.weights, g.edge_array(), num_rules=0)
+
+    warm = StickyGnnScorer(force_sticky=True, warm_overlap=True)
+    ids_w, prob_w, _, _ = warm.score_core(core, ws)  # dispatches + CPU scores
+    plain = StickyGnnScorer(force_sticky=True, warm_overlap=False)
+    ids_p, prob_p, _, _ = plain.score_core(core, ws)
+    mw = {int(i): float(p) for i, p in zip(ids_w, prob_w)}
+    for i, p in zip(ids_p, prob_p):
+        assert abs(float(p) - mw[int(i)]) < 2e-4
+    # harvest and verify the warmed path serves the next round
+    warm._pending["thread"].join()
+    ids2, prob2, _, _ = warm.score_core(core, ws)
+    assert warm._warmed
+    mp = {int(i): float(p) for i, p in zip(ids_p, prob_p)}
+    for i, p in zip(ids2, prob2):
+        assert abs(float(p) - mp[int(i)]) < 2e-4
+
+
 def test_shape_templated_rebuild_same_program_shapes():
     """A rebuild fitted into the previous build's template must produce an
     identical jit cache key (same pytree structure, shapes, statics)."""
