@@ -20,6 +20,7 @@ _LOCK = threading.Lock()
 _lib = None
 
 u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
 u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
 i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
 u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
@@ -133,6 +134,15 @@ def _load():
                 "mwvc_ls_restore_best": ([c], None),
                 "mwvc_ls_perturb": ([c, ct.c_uint32, ct.c_uint64], None),
                 "mwvc_ls_get_best": ([c, u8p], None),
+                "mwvc_ls_get_current": ([c, u8p], None),
+                "mwvc_ls_perturb_guided": ([c, ct.c_uint32, ct.c_uint64,
+                                            f32p, ct.c_uint32], None),
+                "mwvc_ls_extract_regions": ([c, u32p, ct.c_uint32,
+                                             ct.c_uint32, u32p, i32p, i32p,
+                                             u8p], ct.c_uint32),
+                "mwvc_ls_apply_region": ([c, ct.c_uint32, u32p,
+                                          ct.c_uint32], ct.c_int),
+                "mwvc_ls_commit_patches": ([c], ct.c_int),
             }
             for name, (argtypes, restype) in sigs.items():
                 fn = getattr(lib, name)
@@ -357,6 +367,47 @@ class CoreLocalSearch:
         (HILS force(k) analog, Solution.cpp:383-400); deterministic per
         seed."""
         self._lib.mwvc_ls_perturb(self._h, int(k), int(seed))
+
+    def perturb_guided(self, k, seed, bias):
+        """GNN-guided kick: removal targets sampled with acceptance
+        probability bias[u] (the device-computed "u should not be in the
+        cover" signal); deterministic per seed."""
+        bias = np.ascontiguousarray(bias, dtype=np.float32)
+        self._lib.mwvc_ls_perturb_guided(self._h, int(k), int(seed), bias,
+                                         len(bias))
+
+    def current(self):
+        out = np.empty(self.n, dtype=np.uint8)
+        self._lib.mwvc_ls_get_current(self._h, out)
+        return out
+
+    def extract_regions(self, centers, rmax=14):
+        """Disjoint boundary-conditioned <=16-vertex exact sub-instances
+        around the given centers, packed for ops/smallsolve.py.  Returns
+        (ids (B,16) u32, adj (B,16) i32 bitmasks, w (B,16) i32, k (B,) u8);
+        rows with k == 0 are empty (claimed center)."""
+        centers = np.ascontiguousarray(centers, dtype=np.uint32)
+        b = len(centers)
+        ids = np.zeros((b, 16), np.uint32)
+        adj = np.zeros((b, 16), np.int32)
+        w = np.zeros((b, 16), np.int32)
+        k = np.zeros(b, np.uint8)
+        self._lib.mwvc_ls_extract_regions(
+            self._h, centers, b, int(rmax), ids.reshape(-1),
+            adj.reshape(-1), w.reshape(-1), k)
+        return ids, adj, w, k
+
+    def apply_region(self, k, ids, new_mask):
+        """Validate + apply a device-proved region assignment; returns True
+        if applied.  Leaves dscores stale — call commit_patches() after a
+        patch batch."""
+        ids = np.ascontiguousarray(ids, dtype=np.uint32)
+        return bool(self._lib.mwvc_ls_apply_region(
+            self._h, int(k), ids, int(new_mask)))
+
+    def commit_patches(self):
+        """Rebuild dscores/heap after patches; True if best improved."""
+        return bool(self._lib.mwvc_ls_commit_patches(self._h))
 
     @property
     def cost(self):

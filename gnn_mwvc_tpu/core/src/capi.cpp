@@ -313,6 +313,51 @@ void mwvc_ls_get_best(void *h, uint8_t *out) {
         out[i] = ls->best_s[i];
 }
 
+void mwvc_ls_get_current(void *h, uint8_t *out) {
+    auto *ls = (LocalSearch *)h;
+    for (u32 i = 0; i < ls->n; ++i)
+        out[i] = ls->in_s[i];
+}
+
+void mwvc_ls_perturb_guided(void *h, u32 k, u64 seed, const float *bias,
+                            u32 bias_n) {
+    ((LocalSearch *)h)->perturb_guided(k, seed, bias, bias_n);
+}
+
+// ---- device-assisted phase 2: region extraction / patching ---------------
+// Extract up to ncenters disjoint boundary-conditioned regions for the
+// device small-solver; fills out_ids/out_adj/out_w as (ncenters, 16) rows
+// and out_k with per-row sizes.  Returns the number of non-empty regions.
+u32 mwvc_ls_extract_regions(void *h, const u32 *centers, u32 ncenters,
+                            u32 rmax, u32 *out_ids, int32_t *out_adj,
+                            int32_t *out_w, uint8_t *out_k) {
+    auto *ls = (LocalSearch *)h;
+    ls->begin_region_batch();
+    u32 built = 0;
+    for (u32 i = 0; i < ncenters; ++i) {
+        u32 *ids = out_ids + (u64)i * 16;
+        int32_t *adj = out_adj + (u64)i * 16;
+        int32_t *w = out_w + (u64)i * 16;
+        for (u32 t = 0; t < 16; ++t) {
+            ids[t] = 0;
+            adj[t] = 0;
+            w[t] = 0;
+        }
+        out_k[i] = (uint8_t)ls->extract_region(centers[i], rmax, ids, adj, w);
+        if (out_k[i])
+            built++;
+    }
+    return built;
+}
+
+int mwvc_ls_apply_region(void *h, u32 k, const u32 *ids, u32 new_mask) {
+    return ((LocalSearch *)h)->apply_region(k, ids, new_mask);
+}
+
+int mwvc_ls_commit_patches(void *h) {
+    return ((LocalSearch *)h)->commit_patches() ? 1 : 0;
+}
+
 // Locality-improving vertex order: BFS from a min-degree root, neighbors
 // visited in degree order (pseudo Cuthill-McKee).  Fills perm with old ids
 // in new order; disconnected pieces appended from fresh min-degree roots.

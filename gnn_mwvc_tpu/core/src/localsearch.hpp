@@ -272,29 +272,18 @@ class LocalSearch {
         rebuild_scores();
     }
 
-    // Diversification: remove k random cover vertices, then repair the
-    // uncovered edges greedily (add the endpoint with the better
-    // gain/weight ratio, FastWVC-ConstructVC style).  Call after
-    // restore_best for the standard ILS kick.  Deterministic per seed.
-    void perturb(u32 k, u64 seed) {
-        auto rnd = [&]() {  // splitmix64
-            seed += 0x9e3779b97f4a7c15ull;
-            u64 z = seed;
-            z = (z ^ (z >> 30)) * 0xbf58476d1ce4e5b9ull;
-            z = (z ^ (z >> 27)) * 0x94d049bb133111ebull;
-            return z ^ (z >> 31);
-        };
-        step++;
-        for (u32 t = 0, done = 0; done < k && t < 16 * k + 64; ++t) {
-            u32 u = (u32)(rnd() % n);
-            if (!in_s[u])
-                continue;
-            in_s[u] = 0;
-            cost -= wt[u];
-            age[u] = (u32)step;
-            done++;
-        }
-        // greedy repair over the (few) uncovered edges
+    static inline u64 splitmix64(u64 &seed) {
+        seed += 0x9e3779b97f4a7c15ull;
+        u64 z = seed;
+        z = (z ^ (z >> 30)) * 0xbf58476d1ce4e5b9ull;
+        z = (z ^ (z >> 27)) * 0x94d049bb133111ebull;
+        return z ^ (z >> 31);
+    }
+
+    // Greedy repair over the uncovered edges (add the endpoint with the
+    // better gain/weight ratio, FastWVC-ConstructVC style); shared by the
+    // uniform and guided kicks.
+    void repair_greedy() {
         std::vector<u32> uncov;
         std::vector<u64> gain(n, 0);
         for (u32 i = 0; i < m; ++i) {
@@ -322,6 +311,182 @@ class LocalSearch {
         if (cost < best_seen)
             best_seen = cost;
         rebuild_scores();
+    }
+
+    // Diversification: remove k random cover vertices, then repair.  Call
+    // after restore_best for the standard ILS kick.  Deterministic per seed.
+    void perturb(u32 k, u64 seed) {
+        step++;
+        for (u32 t = 0, done = 0; done < k && t < 16 * k + 64; ++t) {
+            u32 u = (u32)(splitmix64(seed) % n);
+            if (!in_s[u])
+                continue;
+            in_s[u] = 0;
+            cost -= wt[u];
+            age[u] = (u32)step;
+            done++;
+        }
+        repair_greedy();
+    }
+
+    // GNN-guided kick (round 3, device-assisted phase 2): removal targets
+    // are sampled with acceptance probability bias[u] in [0,1] — the
+    // model's "u should not be in the cover" signal, computed on device
+    // over the kernel (solver/device_assist.py) — so diversification aims
+    // where the trained prior disagrees with the incumbent instead of
+    // uniformly at random.  Falls back to uniform acceptance for vertices
+    // past the bias array (gadget-id safety).
+    void perturb_guided(u32 k, u64 seed, const float *bias, u32 bias_n) {
+        step++;
+        for (u32 t = 0, done = 0; done < k && t < 64 * k + 256; ++t) {
+            u32 u = (u32)(splitmix64(seed) % n);
+            if (!in_s[u])
+                continue;
+            float b = u < bias_n ? bias[u] : 1.0f;
+            if ((splitmix64(seed) & 0xffffffu) >= (u64)(b * 16777216.0f))
+                continue;
+            in_s[u] = 0;
+            cost -= wt[u];
+            age[u] = (u32)step;
+            done++;
+        }
+        repair_greedy();
+    }
+
+    // ---- device-batched region re-optimization (round 3) -----------------
+    // The reference keeps its single CPU busy for the whole budget
+    // (reference: src/GNN_VC.cpp:338-358, local_search.hpp:149-210); here
+    // the otherwise-idle device works phase 2 too: the host extracts
+    // boundary-conditioned <=16-vertex sub-instances around model-misfit
+    // centers, the device exact-solves thousands per call by 2^16 subset
+    // enumeration (ops/smallsolve.py), and proven improvements are patched
+    // back between search batches (SURVEY §2.4 host<->device row).
+
+    std::vector<u32> region_mark;  // per-vertex claim epoch
+    u32 region_epoch = 0;
+
+    // Start a new extraction batch: regions within one batch are disjoint,
+    // so their patches can be validated and applied independently.
+    void begin_region_batch() {
+        if (region_mark.empty())
+            region_mark.assign(n, 0);
+        region_epoch++;
+    }
+
+    // Grow a BFS region (<= rmax <= 16 vertices) around center c, skipping
+    // vertices claimed earlier in this batch; emit the boundary-conditioned
+    // exact instance: local adjacency bitmasks (a self-loop forces the
+    // vertex into the cover — an outside non-cover neighbor pins it),
+    // int32 weights, and the region's vertex ids.  Returns k (0 = center
+    // already claimed or the region's weight sum would overflow int32).
+    u32 extract_region(u32 c, u32 rmax, u32 *ids, int32_t *adj_out,
+                       int32_t *w_out) {
+        if (rmax > 16)
+            rmax = 16;
+        if (region_mark[c] == region_epoch)
+            return 0;
+        u32 k = 0;
+        ids[k++] = c;
+        region_mark[c] = region_epoch;
+        for (u32 qi = 0; qi < k && k < rmax; ++qi) {
+            u32 u = ids[qi];
+            for (u32 e = adj_off[u]; e < adj_off[u + 1] && k < rmax; ++e) {
+                u32 x = adj_nbr[e];
+                if (region_mark[x] != region_epoch) {
+                    region_mark[x] = region_epoch;
+                    ids[k++] = x;
+                }
+            }
+        }
+        u64 wsum = 0;
+        for (u32 i = 0; i < k; ++i) {
+            adj_out[i] = 0;
+            w_out[i] = (int32_t)wt[ids[i]];
+            wsum += wt[ids[i]];
+        }
+        if (wsum >= (1u << 30))
+            return 0;  // keep 2^16-subset costs safely inside int32
+        for (u32 i = 0; i < k; ++i) {
+            u32 u = ids[i];
+            for (u32 e = adj_off[u]; e < adj_off[u + 1]; ++e) {
+                u32 x = adj_nbr[e];
+                int j = -1;
+                for (u32 t = 0; t < k; ++t)
+                    if (ids[t] == x) {
+                        j = (int)t;
+                        break;
+                    }
+                if (j >= 0)
+                    adj_out[i] |= (int32_t)(1u << j);
+                else if (!in_s[x])
+                    adj_out[i] |= (int32_t)(1u << i);  // forced into cover
+            }
+        }
+        return k;
+    }
+
+    // Validate + apply a device-proved region assignment (bit i of
+    // new_mask = ids[i] in cover).  Rejects unless the local cost strictly
+    // improves AND every edge incident to a removed vertex stays covered
+    // (the surrounding cover may have drifted since extraction).  Leaves
+    // dscores/heap stale — call commit_patches() after a patch batch.
+    int apply_region(u32 k, const u32 *ids, u32 new_mask) {
+        u64 old_c = 0, new_c = 0;
+        for (u32 i = 0; i < k; ++i) {
+            u32 u = ids[i];
+            if (in_s[u])
+                old_c += wt[u];
+            if ((new_mask >> i) & 1)
+                new_c += wt[u];
+        }
+        if (new_c >= old_c)
+            return 0;
+        for (u32 i = 0; i < k; ++i) {
+            if ((new_mask >> i) & 1)
+                continue;
+            u32 u = ids[i];
+            for (u32 e = adj_off[u]; e < adj_off[u + 1]; ++e) {
+                u32 x = adj_nbr[e];
+                int j = -1;
+                for (u32 t = 0; t < k; ++t)
+                    if (ids[t] == x) {
+                        j = (int)t;
+                        break;
+                    }
+                bool covered =
+                    (j >= 0) ? (((new_mask >> j) & 1) != 0) : (in_s[x] != 0);
+                if (!covered)
+                    return 0;
+            }
+        }
+        step++;
+        for (u32 i = 0; i < k; ++i) {
+            u32 u = ids[i];
+            bool nv = (new_mask >> i) & 1;
+            if (in_s[u] && !nv) {
+                in_s[u] = 0;
+                cost -= wt[u];
+                age[u] = (u32)step;
+            } else if (!in_s[u] && nv) {
+                in_s[u] = 1;
+                cost += wt[u];
+                age[u] = (u32)step;
+            }
+        }
+        if (cost < best_seen)
+            best_seen = cost;
+        return 1;
+    }
+
+    // After a patch batch: refresh dscores/heap; snapshot if improved.
+    bool commit_patches() {
+        rebuild_scores();
+        if (cost < best_cost) {
+            best_cost = cost;
+            best_s = in_s;
+            return true;
+        }
+        return false;
     }
 
     // ---- diversification: edge-weight forgetting -------------------------

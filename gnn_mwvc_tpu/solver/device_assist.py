@@ -1,0 +1,171 @@
+"""Device-assisted phase 2: the TPU works the local-search budget too.
+
+The reference keeps its single CPU busy for the whole 1000 s cutoff
+(reference: src/GNN_VC.cpp:338-358 driving local_search.hpp:149-210); in
+round 2 this framework's device went idle once peeling ended — typically
+85-95 % of a canonical run.  This module closes SURVEY §2.4's host<->device
+row in the device->search direction with two mechanisms:
+
+1. **GNN-guided kicks** — the kernel is re-scored once on the (already
+   warm) device at phase-2 start; the ILS kick then removes cover vertices
+   sampled by *model misfit* (1 - p(u) for u in the cover) instead of
+   uniformly, aiming diversification where the trained prior disagrees
+   with the incumbent.  (pipeline.solve wires the bias into
+   CoreLocalSearch.perturb_guided.)
+
+2. **Device-batched exact region re-optimization** — between search
+   batches the host extracts disjoint boundary-conditioned <=16-vertex
+   sub-instances around misfit centers (core LocalSearch::extract_region:
+   intra-region edges must be covered; a region vertex with an outside
+   non-cover neighbor is forced in via a self-loop bit), a worker thread
+   exact-solves thousands per call with the 2^16 subset-enumeration
+   kernel (ops/smallsolve.py — the device analog of the reference's SSE2
+   small_solve, include/small_solve.hpp:44-76), and strictly-improving
+   assignments are re-validated against the live cover and patched back
+   (LocalSearch::apply_region + commit_patches).  The first device call
+   pays the one-time program load through the relay — in the worker
+   thread, overlapped with the search, never blocking it.
+
+All LS mutations happen in the caller's thread; the worker thread touches
+only its own numpy/JAX arrays, so there is no shared mutable state beyond
+the two queues.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+
+import numpy as np
+
+__all__ = ["DeviceAssist"]
+
+
+class DeviceAssist:
+    def __init__(self, prob: np.ndarray, device=None, batch: int = 1024,
+                 rmax: int = 14, seed: int = 1, misfit_frac: float = 0.75):
+        """prob: model scores aligned with the LS vertex ids (kernel rows;
+        0.5 = neutral).  batch: regions per device call (one program
+        shape).  misfit_frac: fraction of centers sampled by misfit; the
+        rest are uniform over the cover (coverage diversity)."""
+        self.prob = np.asarray(prob, np.float32)
+        self.batch = int(batch)
+        self.rmax = int(rmax)
+        self.misfit_frac = float(misfit_frac)
+        self._rng = np.random.default_rng(seed)
+        self._device = device
+        self._jobs: queue.Queue = queue.Queue(maxsize=1)
+        self._results: queue.Queue = queue.Queue()
+        self._pending = None  # (ids (B,16), k (B,)) of the in-flight job
+        self._stop = False
+        self.stats = {"batches": 0, "regions": 0, "patches": 0,
+                      "gain": 0, "t_device_s": 0.0, "t_host_s": 0.0,
+                      "commits": 0}
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name="device-assist")
+        self._worker.start()
+
+    # -- worker: device calls only ----------------------------------------
+    def _run(self):
+        import jax
+
+        from gnn_mwvc_tpu.ops.smallsolve import batched_small_mwvc
+
+        while True:
+            job = self._jobs.get()
+            if job is None:
+                return
+            adj, w = job
+            try:
+                t0 = time.perf_counter()
+                if self._device is not None:
+                    adj = jax.device_put(adj, self._device)
+                    w = jax.device_put(w, self._device)
+                bc, bs = batched_small_mwvc(adj, w)
+                bc = np.asarray(bc)
+                bs = np.asarray(bs)
+                self._results.put((bc, bs, time.perf_counter() - t0))
+            except Exception as exc:  # surfaced on the next tick
+                self._results.put(exc)
+
+    # -- caller thread -----------------------------------------------------
+    def _sample_centers(self, ls) -> np.ndarray:
+        cur = ls.current().astype(bool)
+        n = len(cur)
+        p = self.prob[:n] if len(self.prob) >= n else np.full(
+            n, 0.5, np.float32)
+        misfit = np.where(cur, 1.0 - p, 0.0).astype(np.float64)
+        b_mis = int(self.batch * self.misfit_frac)
+        picks = []
+        if misfit.sum() > 0 and b_mis > 0:
+            # Gumbel top-k == sampling w/o replacement proportional to misfit
+            g = self._rng.gumbel(size=n)
+            key = np.where(misfit > 0, np.log(misfit + 1e-12) + g, -np.inf)
+            picks.append(np.argpartition(-key, min(b_mis, n - 1))[:b_mis])
+        cover_ids = np.nonzero(cur)[0]
+        b_uni = self.batch - (len(picks[0]) if picks else 0)
+        if len(cover_ids) and b_uni > 0:
+            picks.append(self._rng.choice(
+                cover_ids, size=min(b_uni, len(cover_ids)), replace=False))
+        if not picks:
+            return np.zeros(0, np.uint32)
+        c = np.concatenate(picks).astype(np.uint32)
+        return c[:self.batch]
+
+    def tick(self, ls) -> int:
+        """Poll/advance the assist pipeline; returns patches applied now.
+
+        Never blocks: if the device batch (or its one-time program load)
+        is still in flight the caller goes straight back to searching.
+        """
+        t0 = time.perf_counter()
+        applied = 0
+        if self._pending is not None:
+            try:
+                res = self._results.get_nowait()
+            except queue.Empty:
+                self.stats["t_host_s"] += time.perf_counter() - t0
+                return 0
+            ids, ks = self._pending
+            self._pending = None
+            if isinstance(res, Exception):
+                raise res
+            bc, bs, t_dev = res
+            self.stats["t_device_s"] += t_dev
+            cost_before = ls.cost
+            for i in range(len(ks)):
+                k = int(ks[i])
+                if k == 0:
+                    continue
+                if ls.apply_region(k, ids[i, :k], int(bs[i])):
+                    applied += 1
+            if applied:
+                ls.commit_patches()
+                self.stats["commits"] += 1
+                self.stats["gain"] += cost_before - ls.cost
+            self.stats["patches"] += applied
+            self.stats["batches"] += 1
+
+        # dispatch the next batch
+        centers = self._sample_centers(ls)
+        if len(centers):
+            ids, adj, w, ks = ls.extract_regions(centers, rmax=self.rmax)
+            if len(centers) < self.batch:  # keep one program shape
+                pad = self.batch - len(centers)
+                adj = np.pad(adj, ((0, pad), (0, 0)))
+                w = np.pad(w, ((0, pad), (0, 0)))
+                ids = np.pad(ids, ((0, pad), (0, 0)))
+                ks = np.pad(ks, (0, pad))
+            self.stats["regions"] += int((ks > 0).sum())
+            self._pending = (ids, ks)
+            self._jobs.put((adj, w))
+        self.stats["t_host_s"] += time.perf_counter() - t0
+        return applied
+
+    def stop(self):
+        self._stop = True
+        try:
+            self._jobs.put_nowait(None)
+        except queue.Full:
+            pass

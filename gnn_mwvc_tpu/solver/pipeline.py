@@ -129,6 +129,7 @@ class SolveResult:
     initial_cost: int           # cost paid by initial reductions
     counters: np.ndarray        # rule-fire counters r1..r8
     ls_steps: int = 0
+    assist_stats: Optional[dict] = None  # device-assisted phase-2 counters
 
 
 def gnn_peel(
@@ -213,6 +214,9 @@ def solve(
     ls_ils_stall: int = 256,
     ls_ils_k: int = 16,
     ls_seed: int = 1,
+    device_assist: bool = False,
+    assist_batch: int = 1024,
+    assist_rmax: int = 14,
 ) -> SolveResult:
     """Phase-2 diversification (beyond the reference's plain search):
 
@@ -225,7 +229,14 @@ def solve(
     Set ls_ils_stall=0 for exact reference phase-2 behavior.
 
     ls_forget_after > 0 instead decays learned edge weights on stall
-    (FastWVC ForgetEdgeWeights; kept for experiments, off by default)."""
+    (FastWVC ForgetEdgeWeights; kept for experiments, off by default).
+
+    device_assist=True puts the otherwise-idle device to work during
+    phase 2 (solver/device_assist.py): the kernel is re-scored once on
+    device, ILS kicks become model-misfit-guided, and a worker thread
+    exact-solves batches of boundary-conditioned <=16-vertex regions whose
+    strictly-improving assignments are patched back between search
+    batches."""
     t_start = time.perf_counter()
     if g.n == 0:
         return SolveResult(np.zeros(0, np.int8), 0, 0, 0.0, 0.0, 0.0, 0, 0,
@@ -290,6 +301,32 @@ def solve(
     s0 = np.array([core.decided(u) == 1 for u in snap.ids], dtype=np.uint8)
     ls = CoreLocalSearch(snap.weights, kedges, s0)
 
+    assist = None
+    kick_bias = None
+    if device_assist:
+        from gnn_mwvc_tpu.solver.device_assist import DeviceAssist
+
+        # Re-score the kernel under the live core state: the device
+        # program is already warm from phase 1 (small kernels route to the
+        # CPU forward); map core ids -> snapshot rows.
+        if hasattr(scorer, "score_core"):
+            ids_k, prob_k, _wk, _dk = scorer.score_core(core, weight_scale)
+        else:
+            prob_k = scorer(snap, weight_scale).astype(np.float32)
+            ids_k = snap.ids
+        prob_local = np.full(snap.n, 0.5, np.float32)
+        order = np.argsort(snap.ids)
+        sid = snap.ids[order]
+        idx = np.searchsorted(sid, ids_k)
+        ok = (idx < len(sid))
+        ok &= sid[np.minimum(idx, len(sid) - 1)] == ids_k
+        prob_local[order[idx[ok]]] = np.asarray(prob_k)[ok]
+        kick_bias = np.clip(1.0 - prob_local, 0.05, 1.0).astype(np.float32)
+        _cpu_d, _tpu_d = pick_devices()
+        assist = DeviceAssist(prob_local, device=_tpu_d or _cpu_d,
+                              batch=assist_batch, rmax=assist_rmax,
+                              seed=ls_seed)
+
     t2 = time.perf_counter()
     t_best = t2
     last_ckpt = t2
@@ -338,9 +375,24 @@ def solve(
                         k_cur = min(k_cur * 2, 4096)
                     best_at_kick = ls.best_cost
                     ls.restore_best()
-                    ls.perturb(k_cur, ls_seed + kicks)
+                    if kick_bias is not None:
+                        ls.perturb_guided(k_cur, ls_seed + kicks, kick_bias)
+                    else:
+                        ls.perturb(k_cur, ls_seed + kicks)
                     step_size = 1 << 16
+        if assist is not None:
+            prev_best = ls.best_cost
+            assist.tick(ls)
+            if ls.best_cost < prev_best:
+                t_best = time.perf_counter()
+                if verbose:
+                    print(
+                        f"{time_gnn + (t_best - t2):.2f},"
+                        f"{ls.best_cost + initial_cost}, device patch"
+                    )
 
+    if assist is not None:
+        assist.stop()
     # write the best cover back into the core solution (cost adjusted with
     # kernel-state weights, as the reference's get_cover does)
     core.apply_cover(snap.ids, ls.best())
@@ -360,4 +412,5 @@ def solve(
         initial_cost,
         core.counters,
         ls_steps=ls.steps,
+        assist_stats=dict(assist.stats) if assist is not None else None,
     )

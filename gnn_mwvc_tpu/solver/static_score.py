@@ -101,7 +101,8 @@ class StickyGnnScorer:
                  compat: bool = True,
                  force_sticky: bool = False,
                  precision: str = "highest",
-                 warm_overlap="auto"):
+                 warm_overlap="auto",
+                 warm_wait_s: float = 15.0):
         # rebuild_active_frac defaults to 0: scoring a non-shrinking static
         # shape costs single-digit ms extra on device, while every rebuild
         # mints a NEW program shape whose one-time compile/load through the
@@ -144,6 +145,11 @@ class StickyGnnScorer:
             self._tpu_dev is not None if warm_overlap == "auto"
             else bool(warm_overlap)
         )
+        # Bounded wait before falling back: on fast-relay days the program
+        # loads in single-digit seconds — cheaper than the CPU stopgap
+        # forward on multi-M-edge kernels — so give the warmup thread
+        # warm_wait_s to finish before paying for a CPU round.
+        self.warm_wait_s = warm_wait_s
         self._warmed = False
         self._pending = None  # {"thread", "out", "t0"}
         self._cpu_fallback = None
@@ -242,18 +248,19 @@ class StickyGnnScorer:
                          "t0": time.perf_counter()}
 
     def _harvest_pending(self):
+        """Join the warmup call; returns its score array (only meaningful
+        when harvesting in the same round the call was dispatched)."""
         p = self._pending
         p["thread"].join()
         self._pending = None
         if "err" in p["holder"]:
             raise p["holder"]["err"]
         out = p["holder"]["out"]
-        # out[0] is the dispatch-round score — that round was already
-        # decided from the CPU stopgap; keep only the live device buffers
         self._bufs = tuple(out[1:])
         self._warmed = True
         self.stats["t_warmup_s"] = round(
             time.perf_counter() - p["t0"], 1)
+        return out[0]
 
     # -- per-round scoring ----------------------------------------------
     def score_core(self, core, weight_scale: float):
@@ -333,18 +340,25 @@ class StickyGnnScorer:
         if self.warm_overlap and not self._warmed:
             # first device call of the process: pays the one-time program
             # compile/load through the relay — dispatch it off-thread (it
-            # applies this round's deltas, so the buffers stay coherent)
-            # and decide this round from the exact CPU forward instead
+            # applies this round's deltas, so the buffers stay coherent).
+            # Give it warm_wait_s; if the program loads fast (good relay
+            # day) use its result directly, otherwise decide this round
+            # from the exact CPU forward while the load proceeds.
             self._bufs = None  # donated to the pending call
             self._dispatch_async(args)
-            self.stats["overlap_rounds"] = (
-                self.stats.get("overlap_rounds", 0) + 1
-            )
-            return self._score_legacy(core, weight_scale, force_cpu=True)
-        out = self._fn(*args)
-        prob, *bufs = out
-        self._bufs = tuple(bufs)
-        prob = np.asarray(prob)
+            th = self._pending["thread"]
+            th.join(self.warm_wait_s)
+            if th.is_alive():
+                self.stats["overlap_rounds"] = (
+                    self.stats.get("overlap_rounds", 0) + 1
+                )
+                return self._score_legacy(core, weight_scale, force_cpu=True)
+            prob = np.asarray(self._harvest_pending())
+        else:
+            out = self._fn(*args)
+            prob, *bufs = out
+            self._bufs = tuple(bufs)
+            prob = np.asarray(prob)
         rows = np.nonzero(act_r)[0]
         out_ids = ids[rows]
         out_prob = prob[rows].astype(np.float32)

@@ -1,0 +1,100 @@
+"""Device-assisted phase 2 (round 3): region extraction, exact patching,
+guided kicks, and the end-to-end assist loop."""
+
+import numpy as np
+
+from gnn_mwvc_tpu.core import CoreLocalSearch
+from gnn_mwvc_tpu.graphio import cover_cost, is_vertex_cover
+from gnn_mwvc_tpu.ops.smallsolve import batched_small_mwvc
+from gnn_mwvc_tpu.solver.pipeline import solve
+from tests.conftest import random_graph
+
+
+def _path_ls():
+    # path 0-1-2-3-4 with heavy endpoints in the cover; optimum is {1,3}
+    w = np.array([10, 1, 10, 1, 10], np.uint32)
+    edges = np.array([[0, 1], [1, 2], [2, 3], [3, 4]], np.uint32)
+    s0 = np.array([1, 0, 1, 0, 1], np.uint8)
+    return CoreLocalSearch(w, edges, s0)
+
+
+def test_extract_region_boundary_forcing():
+    """A region vertex with an outside non-cover neighbor must carry a
+    self-loop bit (forced into the cover)."""
+    # star: center 0 with leaves 1..4; cover = {0}; extract rmax=2 around 0
+    w = np.array([5, 1, 1, 1, 1], np.uint32)
+    edges = np.array([[0, 1], [0, 2], [0, 3], [0, 4]], np.uint32)
+    s0 = np.array([1, 0, 0, 0, 0], np.uint8)
+    ls = CoreLocalSearch(w, edges, s0)
+    ids, adj, wts, k = ls.extract_regions(np.array([0], np.uint32), rmax=2)
+    kk = int(k[0])
+    assert kk == 2
+    # region = {0, leaf}; 0 has 3 outside non-cover leaves -> forced
+    i0 = int(np.where(ids[0][:kk] == 0)[0][0])
+    assert adj[0][i0] & (1 << i0)  # self-loop on the center
+    bc, bs = batched_small_mwvc(adj, wts)
+    assert int(bs[0]) & (1 << i0)  # exact solve keeps the forced vertex
+
+
+def test_extract_regions_disjoint_within_batch():
+    g = random_graph(500, 8, seed=1, wmax=50)
+    s0 = np.ones(g.n, np.uint8)
+    ls = CoreLocalSearch(g.weights, g.edge_array(), s0)
+    centers = np.arange(0, 500, 7, dtype=np.uint32)
+    ids, adj, wts, k = ls.extract_regions(centers, rmax=12)
+    seen = set()
+    for i in range(len(centers)):
+        for v in ids[i][: int(k[i])]:
+            assert int(v) not in seen  # no vertex claimed twice
+            seen.add(int(v))
+
+
+def test_apply_region_rejects_uncovering_and_nonimproving():
+    ls = _path_ls()
+    ids, adj, wts, k = ls.extract_regions(np.array([0], np.uint32), rmax=16)
+    kk = int(k[0])
+    # empty cover would uncover every edge -> reject
+    assert not ls.apply_region(kk, ids[0][:kk], 0)
+    # the incumbent assignment (no improvement) -> reject
+    cur_mask = 0
+    for i in range(kk):
+        if ls.current()[ids[0][i]]:
+            cur_mask |= 1 << i
+    assert not ls.apply_region(kk, ids[0][:kk], cur_mask)
+    # the exact optimum -> accepted, cost drops to 2
+    bc, bs = batched_small_mwvc(adj, wts)
+    assert ls.apply_region(kk, ids[0][:kk], int(bs[0]))
+    assert ls.cost == int(bc[0]) == 2
+    assert ls.commit_patches()
+    assert ls.best_cost == 2
+
+
+def test_perturb_guided_respects_bias_and_seed():
+    g = random_graph(400, 6, seed=3, wmax=20)
+    s0 = np.ones(g.n, np.uint8)
+    ls1 = CoreLocalSearch(g.weights, g.edge_array(), s0)
+    ls1.search(2000, 5.0)
+    cover = ls1.current().copy()
+    # bias 0 on a protected prefix: those vertices must never be removed
+    bias = np.ones(g.n, np.float32)
+    bias[:200] = 0.0
+    ls1.perturb_guided(30, 42, bias)
+    cur = ls1.current()
+    assert np.array_equal(cur[:200] & cover[:200], cover[:200] & cover[:200])
+    # determinism per seed
+    ls2 = CoreLocalSearch(g.weights, g.edge_array(), s0)
+    ls2.search(2000, 5.0)
+    ls2.perturb_guided(30, 42, bias)
+    assert np.array_equal(cur, ls2.current())
+
+
+def test_solve_device_assist_end_to_end():
+    g = random_graph(3000, 12, seed=2, wmax=500)
+    res = solve(g, time_limit=2.0, device_assist=True, assist_batch=32)
+    assert is_vertex_cover(g, res.solution)
+    assert cover_cost(g, res.solution) == res.cost
+    assert res.assist_stats is not None
+    assert res.assist_stats["batches"] >= 1
+    # plain solve on the same budget must not be beaten by more than noise
+    res0 = solve(g, time_limit=2.0)
+    assert res.cost <= res0.cost * 1.01

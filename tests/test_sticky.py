@@ -79,7 +79,8 @@ def test_warm_overlap_end_to_end():
     the in-flight rounds with the exact CPU forward; the solve must stay
     valid and the scorer must converge to the sticky path once warmed."""
     g = random_graph(2000, 10, seed=1, wmax=200)
-    scorer = StickyGnnScorer(force_sticky=True, warm_overlap=True)
+    scorer = StickyGnnScorer(force_sticky=True, warm_overlap=True,
+                             warm_wait_s=0.0)
     res = solve(g, time_limit=1.5, scorer=scorer)
     assert is_vertex_cover(g, res.solution)
     assert cover_cost(g, res.solution) == res.cost
@@ -92,13 +93,31 @@ def test_warm_overlap_end_to_end():
         assert scorer._bufs is not None
 
 
+def test_warm_overlap_fast_load_uses_device_result():
+    """When the program loads within warm_wait_s the dispatch round's own
+    device result is used directly — no CPU stopgap round at all."""
+    g = random_graph(800, 8, seed=3, wmax=100)
+    ws = float(g.weights.max())
+    core = CoreSolver(g.weights, g.edge_array(), num_rules=0)
+    warm = StickyGnnScorer(force_sticky=True, warm_overlap=True,
+                           warm_wait_s=60.0)
+    ids, prob, _, _ = warm.score_core(core, ws)
+    assert warm._warmed
+    assert warm.stats.get("overlap_rounds", 0) == 0
+    plain = StickyGnnScorer(force_sticky=True, warm_overlap=False)
+    ids_p, prob_p, _, _ = plain.score_core(core, ws)
+    assert np.array_equal(ids, ids_p)
+    assert np.allclose(prob, prob_p, atol=1e-6)
+
+
 def test_warm_overlap_scores_match_sticky():
     """CPU stopgap scores and sticky scores agree on the same core state."""
     g = random_graph(800, 8, seed=11, wmax=100)
     ws = float(g.weights.max())
     core = CoreSolver(g.weights, g.edge_array(), num_rules=0)
 
-    warm = StickyGnnScorer(force_sticky=True, warm_overlap=True)
+    warm = StickyGnnScorer(force_sticky=True, warm_overlap=True,
+                           warm_wait_s=0.0)
     ids_w, prob_w, _, _ = warm.score_core(core, ws)  # dispatches + CPU scores
     plain = StickyGnnScorer(force_sticky=True, warm_overlap=False)
     ids_p, prob_p, _, _ = plain.score_core(core, ws)

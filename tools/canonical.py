@@ -27,11 +27,14 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--tag", default="run")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--device-assist", action="store_true",
+                    help="device-assisted phase 2 (round-3 feature)")
     args = ap.parse_args(argv)
 
     from bench import build_road_graph
     from gnn_mwvc_tpu.graphio import cover_cost, is_vertex_cover
     from gnn_mwvc_tpu.solver import solve
+    from gnn_mwvc_tpu.solver.static_score import StickyGnnScorer
 
     assert args.instance.startswith("road")
     side = int(args.instance[4:])
@@ -39,9 +42,11 @@ def main(argv=None):
     print(f"instance {args.instance}: n={g.n} m={len(g.indices)//2}",
           flush=True)
 
+    scorer = StickyGnnScorer()
+    kw = {"device_assist": True} if args.device_assist else {}
     t0 = time.perf_counter()
     res = solve(g, time_limit=args.time, reorder=True, ls_seed=args.seed,
-                verbose=True)
+                verbose=True, scorer=scorer, **kw)
     wall = time.perf_counter() - t0
     assert is_vertex_cover(g, res.solution)
     assert cover_cost(g, res.solution) == res.cost
@@ -52,6 +57,9 @@ def main(argv=None):
         "best": int(res.best_seen), "t_best": round(res.time_to_best, 1),
         "t_gnn": round(res.time_gnn, 1), "wall": round(wall, 1),
         "ls_steps": int(res.ls_steps),
+        "scorer": {k: v for k, v in scorer.stats.items()},
+        "device_assist": args.device_assist,
+        "assist": res.assist_stats,
     }
     print(f"{args.instance},{res.cost},{res.best_seen},"
           f"{res.time_to_best:.1f}", flush=True)
