@@ -66,34 +66,83 @@ def write_edge_graph(path_or_buf, g: Graph) -> None:
             f.close()
 
 
-def read_mtx_edges(path_or_buf):
-    """Parse a MatrixMarket coordinate file -> (n, edges 1-indexed, as read).
+_MM_FIELDS = ("real", "integer", "pattern", "complex")
+_MM_SYMMETRIES = ("general", "symmetric", "skew-symmetric", "hermitian")
 
-    Header after ``%`` comment lines is ``N M E`` with n = max(N, M)
-    (reference: gen_weights.cpp:33-37).  Only the first two fields of each of
-    the E data lines are used (pattern entries).
+
+def read_mtx_edges(path_or_buf, with_values: bool = False):
+    """Parse a MatrixMarket coordinate file -> (n, edges 1-indexed, as read)
+    or, with ``with_values=True``, (n, edges, values float64).
+
+    Covers the banner grammar of the reference's vendored NIST mmio
+    (reference: old_files/src/lib/mtx/mmio.c:1-509): ``%%MatrixMarket matrix
+    coordinate <field> <symmetry>`` with field in real/integer/pattern/
+    complex and symmetry in general/symmetric/skew-symmetric/hermitian.
+    ``array`` (dense) format raises a clear error.  Files without a banner
+    are treated as coordinate pattern general (the reference pipeline's own
+    reader ignores the banner entirely, gen_weights.cpp:33-37).
+
+    Entry semantics follow the downstream graph use: symmetric variants
+    store one triangle and each data line is one undirected edge either
+    way, so no mirroring is needed; values (real: 1, complex: 2 columns,
+    the real part is kept) are ignored unless requested; pattern files have
+    none (values returned as 1.0).  Size header is ``N M E`` with
+    n = max(N, M).
     """
     data = _read_bytes(path_or_buf)
     lines = data.split(b"\n")
     i = 0
-    while i < len(lines) and lines[i].lstrip().startswith(b"%"):
+    field, symmetry = "pattern", "general"
+    if lines and lines[0].lstrip().lower().startswith(b"%%matrixmarket"):
+        banner = lines[0].split()
+        if len(banner) < 5:
+            raise ValueError(f"malformed MatrixMarket banner: {lines[0]!r}")
+        obj, fmt = banner[1].lower(), banner[2].lower()
+        field, symmetry = banner[3].decode().lower(), banner[4].decode().lower()
+        if obj != b"matrix":
+            raise ValueError(f"unsupported MatrixMarket object {obj!r}")
+        if fmt == b"array":
+            raise ValueError(
+                "MatrixMarket 'array' (dense) format is not supported; "
+                "this reader handles 'coordinate' (sparse) files only"
+            )
+        if fmt != b"coordinate":
+            raise ValueError(f"unsupported MatrixMarket format {fmt!r}")
+        if field not in _MM_FIELDS:
+            raise ValueError(f"unsupported MatrixMarket field {field!r}")
+        if symmetry not in _MM_SYMMETRIES:
+            raise ValueError(f"unsupported MatrixMarket symmetry {symmetry!r}")
+    while i < len(lines) and (not lines[i].strip()
+                              or lines[i].lstrip().startswith(b"%")):
         i += 1
+    if i >= len(lines):
+        raise ValueError("MatrixMarket file has no size line")
     header = lines[i].split()
     n_rows, n_cols, e = int(header[0]), int(header[1]), int(header[2])
     n = max(n_rows, n_cols)
-    body_lines = lines[i + 1 : i + 1 + e]
-    # Keep only the first two tokens per line (MTX may carry values).
-    us = np.empty(len(body_lines), dtype=np.int64)
-    vs = np.empty(len(body_lines), dtype=np.int64)
-    k = 0
-    for ln in body_lines:
-        parts = ln.split(None, 2)
+    body_lines = [ln for ln in lines[i + 1:] if ln.strip()][:e]
+    if len(body_lines) < e:
+        raise ValueError(f"expected {e} entries, found {len(body_lines)}")
+    us = np.empty(e, dtype=np.int64)
+    vs = np.empty(e, dtype=np.int64)
+    vals = np.ones(e, dtype=np.float64) if with_values else None
+    for k, ln in enumerate(body_lines):
+        parts = ln.split()
         if len(parts) < 2:
-            continue
+            raise ValueError(f"malformed entry line {ln!r}")
         us[k] = int(parts[0])
         vs[k] = int(parts[1])
-        k += 1
-    return n, np.stack([us[:k], vs[:k]], axis=1)
+        if with_values and field != "pattern":
+            if len(parts) < 3:
+                raise ValueError(f"{field} entry missing value: {ln!r}")
+            vals[k] = float(parts[2])  # complex: real part
+    if (us > n_rows).any() or (vs > n_cols).any() or (us < 1).any() \
+            or (vs < 1).any():
+        raise ValueError("MatrixMarket entry index out of range")
+    if symmetry == "skew-symmetric" and (us == vs).any():
+        raise ValueError("skew-symmetric matrix carries a diagonal entry")
+    edges = np.stack([us, vs], axis=1)
+    return (n, edges, vals) if with_values else (n, edges)
 
 
 def gen_weights(n: int, edges_1idx: np.ndarray, wmin: int, wmax: int, seed: int) -> Graph:

@@ -99,3 +99,85 @@ def test_device_graph_padding(rnd_graph):
     assert (dg.row[dg.e :] == dg.n_pad - 1).all()
     np.testing.assert_array_equal(dg.degrees[: g.n], g.degrees)
     np.testing.assert_array_equal(dg.nw[: g.n], g.neighborhood_weights)
+
+
+# ---- MatrixMarket variants (reference: old_files/src/lib/mtx/mmio.c) -------
+
+def _mtx(banner, body):
+    import io
+    return io.BytesIO((banner + body).encode())
+
+
+def test_mtx_pattern_symmetric():
+    from gnn_mwvc_tpu.graphio.edgelist import read_mtx_edges
+    n, e = read_mtx_edges(_mtx(
+        "%%MatrixMarket matrix coordinate pattern symmetric\n",
+        "% comment\n4 4 3\n2 1\n3 1\n4 3\n"))
+    assert n == 4
+    np.testing.assert_array_equal(e, [[2, 1], [3, 1], [4, 3]])
+
+
+def test_mtx_real_general_values():
+    from gnn_mwvc_tpu.graphio.edgelist import read_mtx_edges
+    n, e, v = read_mtx_edges(_mtx(
+        "%%MatrixMarket matrix coordinate real general\n",
+        "3 5 2\n1 2 0.5\n3 5 -2.25\n"), with_values=True)
+    assert n == 5
+    np.testing.assert_array_equal(e, [[1, 2], [3, 5]])
+    np.testing.assert_allclose(v, [0.5, -2.25])
+
+
+def test_mtx_integer_and_complex():
+    from gnn_mwvc_tpu.graphio.edgelist import read_mtx_edges
+    n, e, v = read_mtx_edges(_mtx(
+        "%%MatrixMarket matrix coordinate integer symmetric\n",
+        "2 2 1\n2 1 7\n"), with_values=True)
+    np.testing.assert_allclose(v, [7.0])
+    n, e, v = read_mtx_edges(_mtx(
+        "%%MatrixMarket matrix coordinate complex hermitian\n",
+        "2 2 1\n2 1 3.5 -1.0\n"), with_values=True)
+    np.testing.assert_allclose(v, [3.5])  # real part kept
+
+
+def test_mtx_skew_symmetric_rejects_diagonal():
+    from gnn_mwvc_tpu.graphio.edgelist import read_mtx_edges
+    n, e = read_mtx_edges(_mtx(
+        "%%MatrixMarket matrix coordinate pattern skew-symmetric\n",
+        "3 3 1\n3 1\n"))
+    np.testing.assert_array_equal(e, [[3, 1]])
+    with pytest.raises(ValueError, match="diagonal"):
+        read_mtx_edges(_mtx(
+            "%%MatrixMarket matrix coordinate pattern skew-symmetric\n",
+            "3 3 1\n2 2\n"))
+
+
+def test_mtx_array_format_clear_error():
+    from gnn_mwvc_tpu.graphio.edgelist import read_mtx_edges
+    with pytest.raises(ValueError, match="array"):
+        read_mtx_edges(_mtx(
+            "%%MatrixMarket matrix array real general\n",
+            "2 2\n1.0\n2.0\n3.0\n4.0\n"))
+
+
+def test_mtx_bannerless_pattern_compat():
+    """Files without a banner stay readable (the reference pipeline's own
+    reader never looks at the banner, gen_weights.cpp:33-37)."""
+    from gnn_mwvc_tpu.graphio.edgelist import read_mtx_edges
+    n, e = read_mtx_edges(_mtx("", "% c\n3 3 2\n1 2\n2 3\n"))
+    assert n == 3 and len(e) == 2
+
+
+def test_mtx_malformed_errors():
+    from gnn_mwvc_tpu.graphio.edgelist import read_mtx_edges
+    with pytest.raises(ValueError, match="out of range"):
+        read_mtx_edges(_mtx(
+            "%%MatrixMarket matrix coordinate pattern general\n",
+            "2 2 1\n3 1\n"))
+    with pytest.raises(ValueError, match="expected 2 entries"):
+        read_mtx_edges(_mtx(
+            "%%MatrixMarket matrix coordinate pattern general\n",
+            "2 2 2\n1 2\n"))
+    with pytest.raises(ValueError, match="field"):
+        read_mtx_edges(_mtx(
+            "%%MatrixMarket matrix coordinate decimal general\n",
+            "2 2 1\n1 2\n"))
