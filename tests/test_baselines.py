@@ -58,16 +58,32 @@ def test_baseline_determinism():
     assert a[0] == b[0]
 
 
-def test_numwvc_road_differential():
-    """Road-class quality gate vs the reference NuMWVC binary (VERDICT
-    round-1 item 4): our NuMWVC must match the binary within noise on
-    road90 at an equal cutoff (we currently beat it by ~0.7%)."""
+# ---- road-class differential gates vs the reference binaries ---------------
+# (VERDICT round-2 item 6: all four baselines test-gated within noise of
+# their binaries, with the oracle auto-built instead of skipping.)
+
+ORACLE_DIR = "/tmp/gnn_mwvc_oracle"
+_DIFF_BINS = ("FastWVC", "DynWVC2", "NuMWVC", "HILS")
+
+
+@pytest.fixture(scope="session")
+def oracle_dir():
     import os
     import subprocess
 
-    ref = "/tmp/gnn_mwvc_oracle/NuMWVC"
-    if not os.path.exists(ref):
-        pytest.skip("reference NuMWVC oracle not built")
+    if not all(os.path.exists(os.path.join(ORACLE_DIR, b))
+               for b in _DIFF_BINS):
+        script = os.path.join(os.path.dirname(__file__), "oracle",
+                              "build_oracle.sh")
+        subprocess.run(["bash", script], check=True, capture_output=True,
+                       timeout=900)
+    return ORACLE_DIR
+
+
+@pytest.fixture(scope="session")
+def road90():
+    import os
+
     import bench
     from gnn_mwvc_tpu.graphio import write_metis
 
@@ -75,10 +91,42 @@ def test_numwvc_road_differential():
     path = "/tmp/road90_diff.metis"
     if not os.path.exists(path):
         write_metis(path, g)
-    out = subprocess.run([ref, path, "1", "3"], capture_output=True,
-                         text=True, timeout=60)
-    ref_cost = int(out.stdout.strip().split(",")[1])
-    cost, vc, _ = baseline_solve("numwvc", g.weights, g.edge_array(),
-                                 seed=1, cutoff=3.0)
+    return path, g
+
+
+def _run_ref_binary(exe, argv, timeout=90):
+    import subprocess
+
+    out = subprocess.run([exe] + argv, capture_output=True, text=True,
+                         timeout=timeout)
+    return out.stdout.strip().splitlines()[-1].split(",")
+
+
+@pytest.mark.parametrize("which", ["fastwvc", "dynwvc2", "numwvc", "hils"])
+def test_baseline_road_differential(which, oracle_dir, road90):
+    """Each reimplemented baseline must match its reference binary within
+    local-search noise on road90 at an equal cutoff (BASELINE.md records
+    the margins; DynWVC2/FastWVC/NuMWVC currently beat their binaries)."""
+    import os
+
+    path, g = road90
+    cutoff = 3.0
+    exe = {"fastwvc": "FastWVC", "dynwvc2": "DynWVC2",
+           "numwvc": "NuMWVC", "hils": "HILS"}[which]
+    exe = os.path.join(oracle_dir, exe)
+    if which in ("fastwvc", "dynwvc2"):
+        f = _run_ref_binary(exe, [path, "1", str(int(cutoff)), "3"])
+        ref_cost = int(f[1])
+    elif which == "numwvc":
+        f = _run_ref_binary(exe, [path, "1", str(int(cutoff))])
+        ref_cost = int(f[1])
+    else:  # hils reports the IS weight; cover = total - IS (README.md:16)
+        f = _run_ref_binary(exe, ["-T", str(int(cutoff)), "-s", "1", path])
+        ref_cost = int(g.weights.sum()) - int(f[1])
+    cost, vc, _ = baseline_solve(which, g.weights, g.edge_array(),
+                                 seed=1, cutoff=cutoff)
     assert is_vertex_cover(g, vc)
-    assert cost <= ref_cost * 1.002, (cost, ref_cost)
+    assert cover_cost(g, vc) == cost
+    # within noise of the binary: never worse than 0.5%, and BASELINE.md
+    # records that three of the four actually beat their binaries
+    assert cost <= ref_cost * 1.005, (which, cost, ref_cost)
