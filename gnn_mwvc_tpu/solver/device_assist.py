@@ -163,9 +163,14 @@ class DeviceAssist:
         self.stats["t_host_s"] += time.perf_counter() - t0
         return applied
 
-    def stop(self):
+    def stop(self, timeout: float = 5.0):
+        """Best-effort shutdown: wake the worker and give it a moment to
+        drain.  If its one-time program compile is still in flight (short
+        runs), the daemon thread is abandoned — by the end of any real
+        phase-2 budget the program has long been live."""
         self._stop = True
         try:
             self._jobs.put_nowait(None)
         except queue.Full:
             pass
+        self._worker.join(timeout)

@@ -45,9 +45,12 @@ def corpus(rng):
     for i in range(10):
         graphs.append((f"er{i}", random_graph(
             2000 + 900 * i, 8 + (i % 4) * 2, seed=100 + i, wmax=1000)))
-    for i in range(6):
+    # round 3 (VERDICT r2 item 8): power-law doubled to 12 samples spanning
+    # up to the held-out pl15k scale — the one class where the from-scratch
+    # model measurably lagged (+0.146 % final on pl15k, round 2)
+    for i in range(12):
         graphs.append((f"pl{i}", powerlaw_graph(
-            3000 + 1200 * i, 3 + (i % 3), seed=200 + i)))
+            3000 + 1100 * i, 3 + (i % 3), seed=200 + i)))
     from bench import build_road_graph
     for i, side in enumerate((40, 55, 70, 85)):
         graphs.append((f"grid{i}", build_road_graph(side, seed=300 + i)))
