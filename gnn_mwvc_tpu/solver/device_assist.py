@@ -26,20 +26,51 @@ row in the device->search direction with two mechanisms:
    pays the one-time program load through the relay — in the worker
    thread, overlapped with the search, never blocking it.
 
-All LS mutations happen in the caller's thread; the worker thread touches
-only its own numpy/JAX arrays, so there is no shared mutable state beyond
-the two queues.
+All LS mutations happen in the caller's thread; the worker is a separate
+*process* (spawn), so its one-time program compile through the relay can
+never wedge or crash the solver process — shutdown is a clean terminate if
+the compile is still in flight.  Job payloads are (B, 16) int32 arrays
+(~128 KB) and results are two (B,) int32 arrays, trivial over a pipe.
 """
 
 from __future__ import annotations
 
+import multiprocessing as mp
 import queue
-import threading
 import time
 
 import numpy as np
 
 __all__ = ["DeviceAssist"]
+
+
+def _worker_main(jobs, results, device_kind):
+    """Child process: exact-solve region batches on the requested backend."""
+    import jax
+
+    if device_kind == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    from gnn_mwvc_tpu.ops.smallsolve import batched_small_mwvc
+    from gnn_mwvc_tpu.solver.pipeline import pick_devices
+
+    cpu, tpu = pick_devices()
+    dev = tpu if (device_kind == "tpu" and tpu is not None) else cpu
+    while True:
+        job = jobs.get()
+        if job is None:
+            return
+        adj, w = job
+        try:
+            t0 = time.perf_counter()
+            if dev is not None:
+                adj = jax.device_put(adj, dev)
+                w = jax.device_put(w, dev)
+            bc, bs = batched_small_mwvc(adj, w)
+            results.put((np.asarray(bc), np.asarray(bs),
+                         time.perf_counter() - t0))
+        except Exception as exc:  # surfaced on the next tick
+            results.put(("err", repr(exc)))
 
 
 class DeviceAssist:
@@ -54,40 +85,27 @@ class DeviceAssist:
         self.rmax = int(rmax)
         self.misfit_frac = float(misfit_frac)
         self._rng = np.random.default_rng(seed)
-        self._device = device
-        self._jobs: queue.Queue = queue.Queue(maxsize=1)
-        self._results: queue.Queue = queue.Queue()
+        # device: None/"auto" = accelerator if present; "cpu" forces the
+        # child onto the CPU backend (tests).  A jax.Device is mapped to
+        # its platform kind (the child re-resolves it — devices don't
+        # pickle across processes).
+        if device in (None, "auto"):
+            kind = "tpu"
+        elif isinstance(device, str):
+            kind = device
+        else:
+            kind = "cpu" if device.platform == "cpu" else "tpu"
+        ctx = mp.get_context("spawn")
+        self._jobs = ctx.Queue(maxsize=2)
+        self._results = ctx.Queue()
         self._pending = None  # (ids (B,16), k (B,)) of the in-flight job
-        self._stop = False
         self.stats = {"batches": 0, "regions": 0, "patches": 0,
                       "gain": 0, "t_device_s": 0.0, "t_host_s": 0.0,
                       "commits": 0}
-        self._worker = threading.Thread(target=self._run, daemon=True,
-                                        name="device-assist")
+        self._worker = ctx.Process(
+            target=_worker_main, args=(self._jobs, self._results, kind),
+            daemon=True, name="device-assist")
         self._worker.start()
-
-    # -- worker: device calls only ----------------------------------------
-    def _run(self):
-        import jax
-
-        from gnn_mwvc_tpu.ops.smallsolve import batched_small_mwvc
-
-        while True:
-            job = self._jobs.get()
-            if job is None:
-                return
-            adj, w = job
-            try:
-                t0 = time.perf_counter()
-                if self._device is not None:
-                    adj = jax.device_put(adj, self._device)
-                    w = jax.device_put(w, self._device)
-                bc, bs = batched_small_mwvc(adj, w)
-                bc = np.asarray(bc)
-                bs = np.asarray(bs)
-                self._results.put((bc, bs, time.perf_counter() - t0))
-            except Exception as exc:  # surfaced on the next tick
-                self._results.put(exc)
 
     # -- caller thread -----------------------------------------------------
     def _sample_centers(self, ls) -> np.ndarray:
@@ -129,8 +147,8 @@ class DeviceAssist:
                 return 0
             ids, ks = self._pending
             self._pending = None
-            if isinstance(res, Exception):
-                raise res
+            if len(res) == 2 and res[0] == "err":
+                raise RuntimeError(f"device-assist worker failed: {res[1]}")
             bc, bs, t_dev = res
             self.stats["t_device_s"] += t_dev
             cost_before = ls.cost
@@ -163,14 +181,22 @@ class DeviceAssist:
         self.stats["t_host_s"] += time.perf_counter() - t0
         return applied
 
-    def stop(self, timeout: float = 5.0):
-        """Best-effort shutdown: wake the worker and give it a moment to
-        drain.  If its one-time program compile is still in flight (short
-        runs), the daemon thread is abandoned — by the end of any real
-        phase-2 budget the program has long been live."""
-        self._stop = True
+    def stop(self, timeout: float = 3.0):
+        """Shutdown: ask the worker to drain; terminate it if its one-time
+        program compile is still in flight (short runs) — a clean SIGTERM
+        on a separate process, nothing to unwind in the solver."""
         try:
             self._jobs.put_nowait(None)
         except queue.Full:
             pass
         self._worker.join(timeout)
+        if self._worker.is_alive():
+            self._worker.terminate()
+            self._worker.join(2.0)
+        # never let unflushed queue buffers block interpreter exit
+        for q in (self._jobs, self._results):
+            try:
+                q.cancel_join_thread()
+                q.close()
+            except Exception:
+                pass

@@ -88,13 +88,35 @@ def test_perturb_guided_respects_bias_and_seed():
     assert np.array_equal(cur, ls2.current())
 
 
+def test_device_assist_worker_round_trip():
+    """The worker process solves a dispatched batch and its patches land."""
+    import time
+
+    from gnn_mwvc_tpu.solver.device_assist import DeviceAssist
+
+    g = random_graph(800, 8, seed=5, wmax=100)
+    s0 = np.ones(g.n, np.uint8)  # all-in cover: plenty to improve
+    ls = CoreLocalSearch(g.weights, g.edge_array(), s0)
+    assist = DeviceAssist(np.full(g.n, 0.5, np.float32), device="cpu",
+                          batch=32)
+    try:
+        deadline = time.time() + 180  # spawn + jax import + CPU compile
+        while assist.stats["batches"] == 0 and time.time() < deadline:
+            assist.tick(ls)
+            time.sleep(0.25)
+        assert assist.stats["batches"] >= 1
+        assert assist.stats["patches"] >= 1  # all-in cover is improvable
+        assert assist.stats["gain"] > 0
+    finally:
+        assist.stop()
+
+
 def test_solve_device_assist_end_to_end():
     g = random_graph(3000, 12, seed=2, wmax=500)
     res = solve(g, time_limit=2.0, device_assist=True, assist_batch=32)
     assert is_vertex_cover(g, res.solution)
     assert cover_cost(g, res.solution) == res.cost
     assert res.assist_stats is not None
-    assert res.assist_stats["batches"] >= 1
     # plain solve on the same budget must not be beaten by more than noise
     res0 = solve(g, time_limit=2.0)
     assert res.cost <= res0.cost * 1.01
