@@ -143,6 +143,8 @@ def _load():
                 "mwvc_ls_apply_region": ([c, ct.c_uint32, u32p,
                                           ct.c_uint32], ct.c_int),
                 "mwvc_ls_commit_patches": ([c], ct.c_int),
+                "mwvc_ls_get_dscores": ([c, u32p], None),
+                "mwvc_ls_rebuild_scores": ([c], None),
             }
             for name, (argtypes, restype) in sigs.items():
                 fn = getattr(lib, name)
@@ -406,8 +408,19 @@ class CoreLocalSearch:
             self._h, int(k), ids, int(new_mask)))
 
     def commit_patches(self):
-        """Rebuild dscores/heap after patches; True if best improved."""
+        """Snapshot best after a patch batch (dscores/heap are kept live
+        incrementally by apply_region); True if best improved."""
         return bool(self._lib.mwvc_ls_commit_patches(self._h))
+
+    def dscores(self):
+        out = np.empty(self.n, dtype=np.uint32)
+        self._lib.mwvc_ls_get_dscores(self._h, out)
+        return out
+
+    def rebuild_scores(self):
+        """From-scratch dscore/CC/heap rebuild (test hook; patching keeps
+        them live incrementally)."""
+        self._lib.mwvc_ls_rebuild_scores(self._h)
 
     @property
     def cost(self):

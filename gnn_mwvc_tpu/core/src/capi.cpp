@@ -358,6 +358,16 @@ int mwvc_ls_commit_patches(void *h) {
     return ((LocalSearch *)h)->commit_patches() ? 1 : 0;
 }
 
+// test hooks: incremental-refresh invariant (dscores after patches must
+// equal a from-scratch rebuild)
+void mwvc_ls_get_dscores(void *h, u32 *out) {
+    auto *ls = (LocalSearch *)h;
+    for (u32 i = 0; i < ls->n; ++i)
+        out[i] = ls->dscore[i];
+}
+
+void mwvc_ls_rebuild_scores(void *h) { ((LocalSearch *)h)->rebuild_scores(); }
+
 // Locality-improving vertex order: BFS from a min-degree root, neighbors
 // visited in degree order (pseudo Cuthill-McKee).  Fills perm with old ids
 // in new order; disconnected pieces appended from fresh min-degree roots.

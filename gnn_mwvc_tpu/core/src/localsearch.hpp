@@ -425,11 +425,30 @@ class LocalSearch {
         return k;
     }
 
+    std::vector<u32> touch_mark;  // dedup stamp for 1-ring refreshes
+    u32 touch_epoch = 0;
+
+    // Recompute one vertex's dscore from scratch under the current cover
+    // and edge weights (O(deg)), reset its CC flag, fix its heap slot.
+    inline void refresh_vertex(u32 x) {
+        // in cover: sum of edges x covers alone; out of cover: sum of
+        // uncovered incident edges — the same expression either way
+        u32 ds = 0;
+        for (u32 e = adj_off[x]; e < adj_off[x + 1]; ++e)
+            if (!in_s[adj_nbr[e]])
+                ds += edge_w[adj_eid[e]];
+        dscore[x] = ds;
+        conf[x] = 1;
+        update(x);
+    }
+
     // Validate + apply a device-proved region assignment (bit i of
     // new_mask = ids[i] in cover).  Rejects unless the local cost strictly
     // improves AND every edge incident to a removed vertex stays covered
-    // (the surrounding cover may have drifted since extraction).  Leaves
-    // dscores/heap stale — call commit_patches() after a patch batch.
+    // (the surrounding cover may have drifted since extraction).  dscores,
+    // CC flags and heap slots are refreshed INCREMENTALLY over the changed
+    // vertices' 1-ring (~regionsize*deg work), so patching never pays the
+    // O(n+m) rebuild the uniform kicks use.
     int apply_region(u32 k, const u32 *ids, u32 new_mask) {
         u64 old_c = 0, new_c = 0;
         for (u32 i = 0; i < k; ++i) {
@@ -460,6 +479,11 @@ class LocalSearch {
             }
         }
         step++;
+        if (touch_mark.empty())
+            touch_mark.assign(n, 0);
+        touch_epoch++;
+        u32 changed[16];
+        u32 nchanged = 0;
         for (u32 i = 0; i < k; ++i) {
             u32 u = ids[i];
             bool nv = (new_mask >> i) & 1;
@@ -467,10 +491,26 @@ class LocalSearch {
                 in_s[u] = 0;
                 cost -= wt[u];
                 age[u] = (u32)step;
+                changed[nchanged++] = u;
             } else if (!in_s[u] && nv) {
                 in_s[u] = 1;
                 cost += wt[u];
                 age[u] = (u32)step;
+                changed[nchanged++] = u;
+            }
+        }
+        for (u32 i = 0; i < nchanged; ++i) {
+            u32 u = changed[i];
+            if (touch_mark[u] != touch_epoch) {
+                touch_mark[u] = touch_epoch;
+                refresh_vertex(u);
+            }
+            for (u32 e = adj_off[u]; e < adj_off[u + 1]; ++e) {
+                u32 x = adj_nbr[e];
+                if (touch_mark[x] != touch_epoch) {
+                    touch_mark[x] = touch_epoch;
+                    refresh_vertex(x);
+                }
             }
         }
         if (cost < best_seen)
@@ -478,9 +518,9 @@ class LocalSearch {
         return 1;
     }
 
-    // After a patch batch: refresh dscores/heap; snapshot if improved.
+    // After a patch batch: snapshot if improved (dscores/heap were kept
+    // live incrementally by apply_region).
     bool commit_patches() {
-        rebuild_scores();
         if (cost < best_cost) {
             best_cost = cost;
             best_s = in_s;

@@ -69,6 +69,27 @@ def test_apply_region_rejects_uncovering_and_nonimproving():
     assert ls.best_cost == 2
 
 
+def test_apply_region_incremental_dscores_exact():
+    """After a batch of applied patches the incrementally-maintained
+    dscores must equal a from-scratch rebuild."""
+    g = random_graph(600, 8, seed=9, wmax=50)
+    s0 = np.ones(g.n, np.uint8)
+    ls = CoreLocalSearch(g.weights, g.edge_array(), s0)
+    ls.search(20000, 5.0)
+    centers = np.arange(0, g.n, 11, dtype=np.uint32)
+    ids, adj, wts, ks = ls.extract_regions(centers, rmax=12)
+    bc, bs = batched_small_mwvc(adj, wts)
+    applied = 0
+    for i in range(len(centers)):
+        k = int(ks[i])
+        if k and ls.apply_region(k, ids[i, :k], int(bs[i])):
+            applied += 1
+    assert applied >= 1
+    inc = ls.dscores().copy()
+    ls.rebuild_scores()
+    np.testing.assert_array_equal(inc, ls.dscores())
+
+
 def test_perturb_guided_respects_bias_and_seed():
     g = random_graph(400, 6, seed=3, wmax=20)
     s0 = np.ones(g.n, np.uint8)
