@@ -48,9 +48,9 @@ def corpus(rng):
     # round 3 (VERDICT r2 item 8): power-law doubled to 12 samples spanning
     # up to the held-out pl15k scale — the one class where the from-scratch
     # model measurably lagged (+0.146 % final on pl15k, round 2)
-    for i in range(12):
+    for i in range(16):
         graphs.append((f"pl{i}", powerlaw_graph(
-            3000 + 1100 * i, 3 + (i % 3), seed=200 + i)))
+            3000 + 1000 * i, 3 + (i % 3), seed=200 + i)))
     from bench import build_road_graph
     for i, side in enumerate((40, 55, 70, 85)):
         graphs.append((f"grid{i}", build_road_graph(side, seed=300 + i)))
