@@ -303,27 +303,39 @@ def solve(
 
     assist = None
     kick_bias = None
+    kick_bias_pending = None
     if device_assist:
+        import threading
+
         from gnn_mwvc_tpu.solver.device_assist import DeviceAssist
 
-        # Re-score the kernel under the live core state: the device
-        # program is already warm from phase 1 (small kernels route to the
-        # CPU forward); map core ids -> snapshot rows.
-        if hasattr(scorer, "score_core"):
-            ids_k, prob_k, _wk, _dk = scorer.score_core(core, weight_scale)
-        else:
-            prob_k = scorer(snap, weight_scale).astype(np.float32)
-            ids_k = snap.ids
-        prob_local = np.full(snap.n, 0.5, np.float32)
-        order = np.argsort(snap.ids)
-        sid = snap.ids[order]
-        idx = np.searchsorted(sid, ids_k)
-        ok = (idx < len(sid))
-        ok &= sid[np.minimum(idx, len(sid) - 1)] == ids_k
-        prob_local[order[idx[ok]]] = np.asarray(prob_k)[ok]
-        kick_bias = np.clip(1.0 - prob_local, 0.05, 1.0).astype(np.float32)
+        # Kernel scores guide the kicks and the region-center sampling.
+        # They are computed on the CPU backend in a background thread: a
+        # device re-score of the kernel would mint a NEW program shape
+        # (the kernel's padding differs from the peel build's) and a fresh
+        # shape costs 30-300+ s through the remote-compile relay —
+        # measured wedging phase-2 start for >20 min on road900.  The
+        # search starts immediately with uniform kicks / neutral centers
+        # and swaps the model bias in when the scores land (the first ILS
+        # kick is minutes away anyway).
+        holder = {}
+
+        def _score_kernel():
+            try:
+                cpu_scorer = GnnScorer(
+                    getattr(scorer, "model", None), tpu_min_edges=1 << 62)
+                holder["prob"] = cpu_scorer(snap, weight_scale).astype(
+                    np.float32)
+            except Exception as exc:
+                holder["err"] = exc
+
+        th = threading.Thread(target=_score_kernel, daemon=True,
+                              name="assist-kernel-score")
+        th.start()
+        kick_bias_pending = (th, holder)
         _cpu_d, _tpu_d = pick_devices()
-        assist = DeviceAssist(prob_local, device=_tpu_d or _cpu_d,
+        assist = DeviceAssist(np.full(snap.n, 0.5, np.float32),
+                              device=_tpu_d or _cpu_d,
                               batch=assist_batch, rmax=assist_rmax,
                               seed=ls_seed)
 
@@ -380,6 +392,15 @@ def solve(
                     else:
                         ls.perturb(k_cur, ls_seed + kicks)
                     step_size = 1 << 16
+        if kick_bias_pending is not None:
+            th, holder = kick_bias_pending
+            if not th.is_alive():
+                kick_bias_pending = None
+                if "prob" in holder:
+                    prob_local = holder["prob"]
+                    kick_bias = np.clip(1.0 - prob_local, 0.05, 1.0).astype(
+                        np.float32)
+                    assist.prob = prob_local  # picked up at next pool refill
         if assist is not None:
             prev_best = ls.best_cost
             assist.tick(ls)
