@@ -27,8 +27,11 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--tag", default="run")
     ap.add_argument("--out", default=None)
-    ap.add_argument("--device-assist", action="store_true",
-                    help="device-assisted phase 2 (round-3 feature)")
+    ap.add_argument("--device-assist", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="device-assisted phase 2 (default on since the "
+                         "round-3 canonical record; --no-device-assist "
+                         "reverts to the round-2 ILS)")
     args = ap.parse_args(argv)
 
     from bench import build_road_graph
