@@ -22,7 +22,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+N_DEV = int(os.environ.get("SCALE_DEVICES", 8))
+os.environ.setdefault(
+    "XLA_FLAGS", f"--xla_force_host_platform_device_count={N_DEV}")
+PARTS = [int(x) for x in os.environ.get("SCALE_PARTS", "1,2,4,8").split(",")]
 
 
 def run_instance(name, g, parts_list, results, aggregation="scatter"):
@@ -106,13 +109,14 @@ def main():
     g = build_road_graph(side)
     perm = cluster_order(g.indptr, g.indices)
     g = g.reorder(perm)
-    run_instance(f"road{side}", g, [1, 2, 4, 8], results)
+    run_instance(f"road{side}", g, PARTS, results)
 
     n_er = int(os.environ.get("SCALE_ER_N", 200_000))
     g = random_graph(n_er, 16, seed=42, wmax=1000)
-    run_instance(f"er{n_er // 1000}k", g, [1, 2, 4, 8], results)
+    run_instance(f"er{n_er // 1000}k", g, PARTS, results)
 
-    with open("/tmp/scaling_weak.json", "w") as f:
+    out_path = os.environ.get("SCALE_OUT", "/tmp/scaling_weak.json")
+    with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results))
 
