@@ -41,11 +41,15 @@ def _build() -> str:
         lib_mtime = os.path.getmtime(_LIB)
         if all(os.path.getmtime(p) <= lib_mtime for p in srcs + hdrs):
             return _LIB
+    # build to a temp file and rename: processes that already mmap the old
+    # .so keep their inode; overwriting in place would corrupt them
+    tmp = _LIB + f".tmp.{os.getpid()}"
     cmd = [
         "g++", "-std=c++17", "-O3", "-march=native", "-DNDEBUG", "-fPIC",
-        "-shared", "-o", _LIB,
+        "-shared", "-o", tmp,
     ] + srcs
     subprocess.run(cmd, check=True, capture_output=True, text=True)
+    os.replace(tmp, _LIB)
     return _LIB
 
 
@@ -138,8 +142,8 @@ def _load():
                 "mwvc_ls_perturb_guided": ([c, ct.c_uint32, ct.c_uint64,
                                             f32p, ct.c_uint32], None),
                 "mwvc_ls_extract_regions": ([c, u32p, ct.c_uint32,
-                                             ct.c_uint32, u32p, i32p, i32p,
-                                             u8p], ct.c_uint32),
+                                             ct.c_uint32, ct.c_uint32, u32p,
+                                             i32p, i32p, u8p], ct.c_uint32),
                 "mwvc_ls_apply_region": ([c, ct.c_uint32, u32p,
                                           ct.c_uint32], ct.c_int),
                 "mwvc_ls_commit_patches": ([c], ct.c_int),
@@ -384,18 +388,21 @@ class CoreLocalSearch:
         return out
 
     def extract_regions(self, centers, rmax=14):
-        """Disjoint boundary-conditioned <=16-vertex exact sub-instances
-        around the given centers, packed for ops/smallsolve.py.  Returns
-        (ids (B,16) u32, adj (B,16) i32 bitmasks, w (B,16) i32, k (B,) u8);
-        rows with k == 0 are empty (claimed center)."""
+        """Disjoint boundary-conditioned exact sub-instances (<= rmax <= 20
+        vertices) around the given centers, packed for the device small
+        solvers (ops/smallsolve.py at width 16, ops/smallsolve_pallas.py at
+        16 or 20).  Returns (ids (B,W) u32, adj (B,W) i32 bitmasks,
+        w (B,W) i32, k (B,) u8) with W = 16 when rmax <= 16 else 20; rows
+        with k == 0 are empty (claimed center)."""
         centers = np.ascontiguousarray(centers, dtype=np.uint32)
         b = len(centers)
-        ids = np.zeros((b, 16), np.uint32)
-        adj = np.zeros((b, 16), np.int32)
-        w = np.zeros((b, 16), np.int32)
+        width = 16 if rmax <= 16 else 20
+        ids = np.zeros((b, width), np.uint32)
+        adj = np.zeros((b, width), np.int32)
+        w = np.zeros((b, width), np.int32)
         k = np.zeros(b, np.uint8)
         self._lib.mwvc_ls_extract_regions(
-            self._h, centers, b, int(rmax), ids.reshape(-1),
+            self._h, centers, b, int(rmax), width, ids.reshape(-1),
             adj.reshape(-1), w.reshape(-1), k)
         return ids, adj, w, k
 

@@ -326,19 +326,24 @@ void mwvc_ls_perturb_guided(void *h, u32 k, u64 seed, const float *bias,
 
 // ---- device-assisted phase 2: region extraction / patching ---------------
 // Extract up to ncenters disjoint boundary-conditioned regions for the
-// device small-solver; fills out_ids/out_adj/out_w as (ncenters, 16) rows
-// and out_k with per-row sizes.  Returns the number of non-empty regions.
+// device small-solver; fills out_ids/out_adj/out_w as (ncenters, stride)
+// rows (stride = 16 for the 2^16 enumeration kernel, 20 for the pallas
+// meet-in-the-middle kernel) and out_k with per-row sizes.  Returns the
+// number of non-empty regions.
 u32 mwvc_ls_extract_regions(void *h, const u32 *centers, u32 ncenters,
-                            u32 rmax, u32 *out_ids, int32_t *out_adj,
-                            int32_t *out_w, uint8_t *out_k) {
+                            u32 rmax, u32 stride, u32 *out_ids,
+                            int32_t *out_adj, int32_t *out_w,
+                            uint8_t *out_k) {
     auto *ls = (LocalSearch *)h;
+    if (rmax > stride)
+        rmax = stride;
     ls->begin_region_batch();
     u32 built = 0;
     for (u32 i = 0; i < ncenters; ++i) {
-        u32 *ids = out_ids + (u64)i * 16;
-        int32_t *adj = out_adj + (u64)i * 16;
-        int32_t *w = out_w + (u64)i * 16;
-        for (u32 t = 0; t < 16; ++t) {
+        u32 *ids = out_ids + (u64)i * stride;
+        int32_t *adj = out_adj + (u64)i * stride;
+        int32_t *w = out_w + (u64)i * stride;
+        for (u32 t = 0; t < stride; ++t) {
             ids[t] = 0;
             adj[t] = 0;
             w[t] = 0;

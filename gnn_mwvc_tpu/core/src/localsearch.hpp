@@ -373,7 +373,9 @@ class LocalSearch {
         region_epoch++;
     }
 
-    // Grow a BFS region (<= rmax <= 16 vertices) around center c, skipping
+    // Grow a BFS region (<= rmax <= 20 vertices: local adjacency is an
+    // int32 bitmask; the device kernels solve 2^16 by enumeration and up
+    // to 2^20 by meet-in-the-middle) around center c, skipping
     // vertices claimed earlier in this batch; emit the boundary-conditioned
     // exact instance: local adjacency bitmasks (a self-loop forces the
     // vertex into the cover — an outside non-cover neighbor pins it),
@@ -381,8 +383,8 @@ class LocalSearch {
     // already claimed or the region's weight sum would overflow int32).
     u32 extract_region(u32 c, u32 rmax, u32 *ids, int32_t *adj_out,
                        int32_t *w_out) {
-        if (rmax > 16)
-            rmax = 16;
+        if (rmax > 20)
+            rmax = 20;
         if (region_mark[c] == region_epoch)
             return 0;
         u32 k = 0;

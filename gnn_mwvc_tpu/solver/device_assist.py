@@ -14,17 +14,19 @@ row in the device->search direction with two mechanisms:
    CoreLocalSearch.perturb_guided.)
 
 2. **Device-batched exact region re-optimization** — between search
-   batches the host extracts disjoint boundary-conditioned <=16-vertex
-   sub-instances around misfit centers (core LocalSearch::extract_region:
-   intra-region edges must be covered; a region vertex with an outside
-   non-cover neighbor is forced in via a self-loop bit), a worker thread
-   exact-solves thousands per call with the 2^16 subset-enumeration
-   kernel (ops/smallsolve.py — the device analog of the reference's SSE2
-   small_solve, include/small_solve.hpp:44-76), and strictly-improving
+   batches the host extracts disjoint boundary-conditioned sub-instances
+   (<=16 vertices by default, <=20 with assist_rmax>16) around misfit
+   centers (core LocalSearch::extract_region: intra-region edges must be
+   covered; a region vertex with an outside non-cover neighbor is forced
+   in via a self-loop bit), a worker exact-solves thousands per call —
+   the pallas meet-in-the-middle kernel on accelerators
+   (ops/smallsolve_pallas.py), the 2^16 enumeration kernel on CPU
+   (ops/smallsolve.py); both are device analogs of the reference's SSE2
+   small_solve, include/small_solve.hpp:44-76 — and strictly-improving
    assignments are re-validated against the live cover and patched back
    (LocalSearch::apply_region + commit_patches).  The first device call
    pays the one-time program load through the relay — in the worker
-   thread, overlapped with the search, never blocking it.
+   process, overlapped with the search, never blocking it.
 
 All LS mutations happen in the caller's thread; the worker is a separate
 *process* (spawn), so its one-time program compile through the relay can
@@ -56,6 +58,23 @@ def _worker_main(jobs, results, device_kind):
 
     cpu, tpu = pick_devices()
     dev = tpu if (device_kind == "tpu" and tpu is not None) else cpu
+    on_accel = dev is not None and dev.platform != "cpu"
+    if on_accel:
+        # accelerator: the pallas meet-in-the-middle kernel keeps the 2^n
+        # evaluation in VMEM (~10x less device time per batch than the
+        # HBM-bound enumeration carry; bitwise-identical results) and is
+        # the only practical route to 20-vertex (2^20) regions.
+        from gnn_mwvc_tpu.ops.smallsolve_pallas import pallas_small_mwvc
+
+        def solve_batch(adj, w):
+            return pallas_small_mwvc(adj, w)
+    else:
+        def solve_batch(adj, w):
+            if adj.shape[1] == 16:
+                return batched_small_mwvc(adj, w)
+            # CPU backend with wide regions (tests only): interpret mode
+            from gnn_mwvc_tpu.ops.smallsolve_pallas import pallas_small_mwvc
+            return pallas_small_mwvc(adj, w, interpret=True)
     while True:
         job = jobs.get()
         if job is None:
@@ -66,7 +85,7 @@ def _worker_main(jobs, results, device_kind):
             if dev is not None:
                 adj = jax.device_put(adj, dev)
                 w = jax.device_put(w, dev)
-            bc, bs = batched_small_mwvc(adj, w)
+            bc, bs = solve_batch(adj, w)
             results.put((np.asarray(bc), np.asarray(bs),
                          time.perf_counter() - t0))
         except Exception as exc:  # surfaced on the next tick

@@ -141,3 +141,49 @@ def test_solve_device_assist_end_to_end():
     # plain solve on the same budget must not be beaten by more than noise
     res0 = solve(g, time_limit=2.0)
     assert res.cost <= res0.cost * 1.01
+
+
+def test_extract_regions_width20():
+    """rmax > 16 extracts (B, 20) instances whose exact solves patch back."""
+    g = random_graph(600, 6, seed=9, wmax=80)
+    s0 = np.ones(g.n, np.uint8)
+    ls = CoreLocalSearch(g.weights, g.edge_array(), s0)
+    centers = np.arange(0, 600, 31, dtype=np.uint32)
+    ids, adj, wts, k = ls.extract_regions(centers, rmax=20)
+    assert adj.shape[1] == 20 and wts.shape[1] == 20
+    assert int(k.max()) > 16  # BFS actually grows past the old cap
+    from gnn_mwvc_tpu.ops.smallsolve_pallas import pallas_small_mwvc
+    bc, bs = pallas_small_mwvc(adj, wts, interpret=True)
+    applied = 0
+    for i in range(len(centers)):
+        kk = int(k[i])
+        if kk and ls.apply_region(kk, ids[i][:kk], int(bs[i])):
+            applied += 1
+    assert applied >= 1  # all-in cover around any center is improvable
+    ls.commit_patches()
+    cur = ls.current().astype(bool)
+    ea = g.edge_array()
+    assert (cur[ea[:, 0]] | cur[ea[:, 1]]).all()  # still a cover
+
+
+def test_device_assist_worker_width20():
+    """Worker round-trip at rmax=20 (CPU backend, interpret kernel)."""
+    import time
+
+    from gnn_mwvc_tpu.solver.device_assist import DeviceAssist
+
+    g = random_graph(400, 6, seed=15, wmax=60)
+    s0 = np.ones(g.n, np.uint8)
+    ls = CoreLocalSearch(g.weights, g.edge_array(), s0)
+    assist = DeviceAssist(np.full(g.n, 0.5, np.float32), device="cpu",
+                          batch=16, rmax=20)
+    try:
+        deadline = time.time() + 240
+        while assist.stats["batches"] == 0 and time.time() < deadline:
+            assist.tick(ls)
+            time.sleep(0.25)
+        assert assist.stats["batches"] >= 1
+        assert assist.stats["patches"] >= 1
+        assert assist.stats["gain"] > 0
+    finally:
+        assist.stop()

@@ -93,6 +93,9 @@ def main(argv=None):
     ap.add_argument("--seeds", default="1")
     ap.add_argument("--variants", default="plain,guided,regions,full")
     ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--rmax", type=int, default=14,
+                    help="region size cap; >16 uses the pallas 2^20 "
+                         "meet-in-the-middle kernel (width-20 extraction)")
     ap.add_argument("--out", default="/tmp/assist_ab.json")
     args = ap.parse_args(argv)
 
@@ -102,7 +105,7 @@ def main(argv=None):
     for seed in map(int, args.seeds.split(",")):
         for variant in args.variants.split(","):
             r = run_variant(kern, variant, args.time, seed,
-                            assist_batch=args.batch)
+                            assist_batch=args.batch, rmax=args.rmax)
             r["total_with_init"] = r["best_cost"] + init
             rows.append(r)
             print(json.dumps(r), flush=True)
