@@ -153,6 +153,56 @@ class StickyGnnScorer:
         self._warmed = False
         self._pending = None  # {"thread", "out", "t0"}
         self._cpu_fallback = None
+        # Relay-outage bail (round 3c): the relay's execution throughput
+        # can collapse 3-10x for whole minutes (measured: road1600 phase 1
+        # 600 s vs 274 s, same build, same round counts).  When two
+        # consecutive device rounds run SLOWER PER EDGE than the exact CPU
+        # forward, route rounds to the CPU and re-probe the device every
+        # PROBE_EVERY-th round; a probe under half the CPU rate clears the
+        # state.  Device-only policy: on the CPU backend there is nothing
+        # to bail to.
+        self._relay_sick = False
+        self._dev_slow_streak = 0
+        self._sick_round_ctr = 0
+        self._cpu_per_edge = None  # measured exact-CPU forward, s/edge
+
+    PROBE_EVERY = 4
+    _CPU_EDGES_PER_S_FLOOR = 4e6  # conservative local CPU forward rate
+
+    # -- relay-outage policy (pure state updates; unit-tested) -----------
+    def _cpu_estimate(self) -> float:
+        return self._cpu_per_edge or (1.0 / self._CPU_EDGES_PER_S_FLOOR)
+
+    def _note_cpu_round(self, seconds: float, edges: int):
+        if edges > 0 and seconds > 0:
+            self._cpu_per_edge = seconds / edges
+
+    def _note_device_round(self, seconds: float, edges: int):
+        """Returns True if the device is (still) considered healthy."""
+        per_edge = seconds / max(edges, 1)
+        if per_edge > self._cpu_estimate():
+            self._dev_slow_streak += 1
+            if self._dev_slow_streak >= 2 and not self._relay_sick:
+                self._relay_sick = True
+                self._sick_round_ctr = 0
+                self.stats["relay_bails"] = (
+                    self.stats.get("relay_bails", 0) + 1)
+        else:
+            self._dev_slow_streak = 0
+            if self._relay_sick and per_edge < 0.5 * self._cpu_estimate():
+                self._relay_sick = False  # probe came back fast
+        return not self._relay_sick
+
+    def _route_cpu_this_round(self) -> bool:
+        """True = skip the device this round (sick, and not a probe)."""
+        if not self._relay_sick:
+            return False
+        self._sick_round_ctr += 1
+        if self._sick_round_ctr % self.PROBE_EVERY == 0:
+            return False  # probe the device
+        self.stats["relay_sick_rounds"] = (
+            self.stats.get("relay_sick_rounds", 0) + 1)
+        return True
 
     # -- plan lifecycle --------------------------------------------------
     def _rebuild(self, core):
@@ -219,7 +269,11 @@ class StickyGnnScorer:
                                          tpu_min_edges=self.tpu_min_edges)
             scorer = self._legacy
         snap = core.snapshot()
+        t0 = time.perf_counter()
         prob = scorer(snap, weight_scale)
+        if force_cpu:  # the exact CPU forward: calibrates the bail policy
+            self._note_cpu_round(time.perf_counter() - t0,
+                                 int(snap.deg.sum()))
         self.stats["legacy_rounds"] += 1
         return snap.ids, prob.astype(np.float32), snap.weights, snap.deg
 
@@ -283,6 +337,13 @@ class StickyGnnScorer:
                 self.stats["seconds_prep"] += time.perf_counter() - t0
                 return self._score_legacy(core, weight_scale, force_cpu=True)
             self._harvest_pending()
+
+        # relay-outage bail: device rounds measured slower per edge than
+        # the exact CPU forward -> score on the host until a probe round
+        # finds the relay healthy again (accelerator path only)
+        if self._tpu_dev is not None and self._route_cpu_this_round():
+            self.stats["seconds_prep"] += time.perf_counter() - t0
+            return self._score_legacy(core, weight_scale, force_cpu=True)
 
         if self._needs_rebuild(core):
             self._rebuild(core)  # accounts its own prep time
@@ -355,10 +416,15 @@ class StickyGnnScorer:
                 return self._score_legacy(core, weight_scale, force_cpu=True)
             prob = np.asarray(self._harvest_pending())
         else:
+            t_dev0 = time.perf_counter()
             out = self._fn(*args)
             prob, *bufs = out
             self._bufs = tuple(bufs)
-            prob = np.asarray(prob)
+            prob = np.asarray(prob)  # forces device sync
+            if self._tpu_dev is not None:
+                self._note_device_round(
+                    time.perf_counter() - t_dev0,
+                    int(deg_r[act_r].sum()))
         rows = np.nonzero(act_r)[0]
         out_ids = ids[rows]
         out_prob = prob[rows].astype(np.float32)

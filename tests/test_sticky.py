@@ -181,3 +181,60 @@ def _induced(g, keep_mask):
     e = g.edge_array()
     ek = e[keep_mask[e[:, 0]] & keep_mask[e[:, 1]]]
     return Graph(g.weights[ids], remap[ek])
+
+
+def test_relay_bail_policy():
+    """Relay-outage bail state machine (round 3c): two consecutive device
+    rounds slower per edge than the CPU forward flip to CPU routing;
+    every 4th sick round probes the device; a fast probe clears it."""
+    s = StickyGnnScorer.__new__(StickyGnnScorer)  # policy state only
+    s.stats = {}
+    s._relay_sick = False
+    s._dev_slow_streak = 0
+    s._sick_round_ctr = 0
+    s._cpu_per_edge = None
+
+    s._note_cpu_round(4.0, 8_000_000)          # CPU: 0.5 us/edge
+    assert s._cpu_per_edge == 4.0 / 8_000_000
+
+    # healthy device: 100x faster than CPU
+    assert s._note_device_round(0.04, 8_000_000)
+    assert not s._relay_sick
+    # one slow round (program load, hiccup): no trigger
+    assert s._note_device_round(30.0, 8_000_000)
+    assert s._dev_slow_streak == 1 and not s._relay_sick
+    s._note_device_round(0.04, 8_000_000)       # recovers -> streak resets
+    assert s._dev_slow_streak == 0
+
+    # outage: two consecutive slower-than-CPU rounds trip the bail
+    s._note_device_round(25.0, 8_000_000)
+    assert not s._relay_sick
+    s._note_device_round(25.0, 8_000_000)
+    assert s._relay_sick and s.stats["relay_bails"] == 1
+
+    # rounds 1-3 route to CPU, round 4 probes the device
+    routed = [s._route_cpu_this_round() for _ in range(4)]
+    assert routed == [True, True, True, False]
+    assert s.stats["relay_sick_rounds"] == 3
+
+    # probe still slow -> stays sick; next 3 rounds still CPU
+    s._note_device_round(20.0, 8_000_000)
+    assert s._relay_sick
+    assert [s._route_cpu_this_round() for _ in range(4)] == [
+        True, True, True, False]
+
+    # probe fast (under half the CPU rate) -> healthy again
+    s._note_device_round(0.05, 8_000_000)
+    assert not s._relay_sick
+    assert not s._route_cpu_this_round()
+
+    # without a measured CPU round the 4M-edges/s floor calibrates
+    s2 = StickyGnnScorer.__new__(StickyGnnScorer)
+    s2.stats = {}
+    s2._relay_sick = False
+    s2._dev_slow_streak = 0
+    s2._sick_round_ctr = 0
+    s2._cpu_per_edge = None
+    s2._note_device_round(3.0, 8_000_000)       # 1.5x the floor estimate
+    s2._note_device_round(3.0, 8_000_000)
+    assert s2._relay_sick
