@@ -148,12 +148,16 @@ def gnn_peel(
     ``scorer.score_core(core, weight_scale) -> (ids, prob, w, deg)``
     (solver/static_score.py) which owns its own snapshot/plan lifecycle.
     """
+    t0 = time.perf_counter()
     core.reduce()
+    t_reduce0 = time.perf_counter() - t0
     t_kernel = None
     kernel_size = 0
     initial_cost = 0
     first = True
     sticky = hasattr(scorer, "score_core")
+    t_score_sum = 0.0
+    t_peel_sum = 0.0
     while core.active_count > 0:
         core.solve_small_components(component_limit)
         if first:
@@ -182,6 +186,9 @@ def gnn_peel(
         t0 = time.perf_counter()
         core.peel(ids[order], prob[order].astype(np.float32),
                   relable_interval)
+        t_peel = time.perf_counter() - t0
+        t_score_sum += t_score
+        t_peel_sum += t_peel
         if metrics is not None:
             metrics.record_round(
                 nodes_remaining=core.active_count,
@@ -189,10 +196,17 @@ def gnn_peel(
                 decisions=n_before - core.active_count,
                 label_count=core.label_count,
                 seconds_score=round(t_score, 4),
-                seconds_peel=round(time.perf_counter() - t0, 4),
+                seconds_peel=round(t_peel, 4),
             )
     if t_kernel is None:
         t_kernel = core.timestamp
+    # phase-1 decomposition lands in the run records via scorer.stats
+    # (canonical runs don't pass a metrics object; the road1600 r3c/r3d
+    # 600-676 s phase 1s could not be diagnosed post hoc without this)
+    if hasattr(scorer, "stats") and isinstance(scorer.stats, dict):
+        scorer.stats["t_reduce0_s"] = round(t_reduce0, 1)
+        scorer.stats["t_score_s"] = round(t_score_sum, 1)
+        scorer.stats["t_peel_s"] = round(t_peel_sum, 1)
     if metrics is not None and sticky and hasattr(metrics, "record_scorer"):
         metrics.record_scorer(dict(scorer.stats))
     return t_kernel, kernel_size, initial_cost
@@ -244,13 +258,16 @@ def solve(
 
     g_orig = g
     perm = None
+    t_cluster = 0.0
     if reorder:
         # clustered relabel for device-aggregation locality; the solution is
         # mapped back to original ids at the end.
         from gnn_mwvc_tpu.core import cluster_order
 
+        t_c0 = time.perf_counter()
         perm = cluster_order(g.indptr, g.indices)
         g = g.reorder(perm)
+        t_cluster = time.perf_counter() - t_c0
 
     weight_scale = float(g.weights.max())
     if scorer is None:
@@ -261,6 +278,8 @@ def solve(
 
         scorer = StickyGnnScorer(model)
 
+    if hasattr(scorer, "stats") and isinstance(scorer.stats, dict):
+        scorer.stats["t_cluster_s"] = round(t_cluster, 1)
     core = CoreSolver(g.weights, g.edge_array())
     t_kernel, kernel_size, initial_cost = gnn_peel(
         core, scorer, weight_scale,
