@@ -22,7 +22,8 @@ BASELINE.md measured DEFAULT's score error at 1.4e-2 and rejected it).
 vs_baseline: the reference C++ implementation (single-threaded, real
 OpenBLAS sgemm, -O3 -march=native) measured on THIS machine and THE SAME
 graph via tests/oracle/bench_predict when available; otherwise a recorded
-constant (7.86e6 edges/s, 200k-node deg-16 graph, 2026-08-17).
+constant (4.78e6 edges/s on the road-class bench workload, 2026-08-17;
+the ER 200k-node deg-16 workload measured 7.86e6).
 """
 
 import json

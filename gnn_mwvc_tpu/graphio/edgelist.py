@@ -78,9 +78,15 @@ def read_mtx_edges(path_or_buf, with_values: bool = False):
     (reference: old_files/src/lib/mtx/mmio.c:1-509): ``%%MatrixMarket matrix
     coordinate <field> <symmetry>`` with field in real/integer/pattern/
     complex and symmetry in general/symmetric/skew-symmetric/hermitian.
-    ``array`` (dense) format raises a clear error.  Files without a banner
-    are treated as coordinate pattern general (the reference pipeline's own
-    reader ignores the banner entirely, gen_weights.cpp:33-37).
+    ``array`` (dense) files are read too (size line ``N M``, one entry per
+    line in column-major order, lower triangle only for the symmetric
+    variants — reference: mmio.c:219-247 ``mm_read_mtx_array_size`` plus
+    the storage convention from the MM spec mmio.c implements); their
+    nonzero entries become edges, so a dense adjacency matrix round-trips
+    into the same (n, edges) contract as a coordinate file.  Files without
+    a banner are treated as coordinate pattern general (the reference
+    pipeline's own reader ignores the banner entirely,
+    gen_weights.cpp:33-37).
 
     Entry semantics follow the downstream graph use: symmetric variants
     store one triangle and each data line is one undirected edge either
@@ -101,22 +107,25 @@ def read_mtx_edges(path_or_buf, with_values: bool = False):
         field, symmetry = banner[3].decode().lower(), banner[4].decode().lower()
         if obj != b"matrix":
             raise ValueError(f"unsupported MatrixMarket object {obj!r}")
-        if fmt == b"array":
-            raise ValueError(
-                "MatrixMarket 'array' (dense) format is not supported; "
-                "this reader handles 'coordinate' (sparse) files only"
-            )
-        if fmt != b"coordinate":
+        if fmt not in (b"coordinate", b"array"):
             raise ValueError(f"unsupported MatrixMarket format {fmt!r}")
         if field not in _MM_FIELDS:
             raise ValueError(f"unsupported MatrixMarket field {field!r}")
         if symmetry not in _MM_SYMMETRIES:
             raise ValueError(f"unsupported MatrixMarket symmetry {symmetry!r}")
+        if fmt == b"array" and field == "pattern":
+            raise ValueError(
+                "MatrixMarket 'array' format cannot carry a 'pattern' "
+                "field (every dense entry needs a value)")
+    else:
+        fmt = b"coordinate"
     while i < len(lines) and (not lines[i].strip()
                               or lines[i].lstrip().startswith(b"%")):
         i += 1
     if i >= len(lines):
         raise ValueError("MatrixMarket file has no size line")
+    if fmt == b"array":
+        return _read_mtx_array(lines, i, field, symmetry, with_values)
     header = lines[i].split()
     n_rows, n_cols, e = int(header[0]), int(header[1]), int(header[2])
     n = max(n_rows, n_cols)
@@ -143,6 +152,53 @@ def read_mtx_edges(path_or_buf, with_values: bool = False):
         raise ValueError("skew-symmetric matrix carries a diagonal entry")
     edges = np.stack([us, vs], axis=1)
     return (n, edges, vals) if with_values else (n, edges)
+
+
+def _read_mtx_array(lines, i, field, symmetry, with_values):
+    """Dense ``array`` body: size line ``N M`` (mmio.c:219-247), then one
+    entry per line in column-major order; the symmetric variants store the
+    lower triangle only (diagonal excluded for skew-symmetric).  Nonzero
+    entries become 1-indexed (row, col) edges."""
+    header = lines[i].split()
+    if len(header) < 2:
+        raise ValueError(f"malformed array size line {lines[i]!r}")
+    n_rows, n_cols = int(header[0]), int(header[1])
+    if symmetry != "general" and n_rows != n_cols:
+        raise ValueError(f"{symmetry} array matrix must be square")
+    if symmetry == "general":
+        expect = n_rows * n_cols
+    elif symmetry == "skew-symmetric":
+        expect = n_rows * (n_rows - 1) // 2
+    else:  # symmetric / hermitian
+        expect = n_rows * (n_rows + 1) // 2
+    per = 2 if field == "complex" else 1
+    toks = b" ".join(
+        ln for ln in lines[i + 1:]
+        if ln.strip() and not ln.lstrip().startswith(b"%")
+    ).split()
+    if len(toks) < per * expect:
+        raise ValueError(
+            f"expected {expect} array entries, found {len(toks) // per}")
+    vals = np.array(toks[: per * expect], dtype=np.float64)
+    nz = (vals.reshape(-1, per) != 0).any(axis=1)
+    vals = vals.reshape(-1, per)[:, 0]  # complex: keep the real part
+    # column-major entry k -> (row, col), 1-indexed
+    if symmetry == "general":
+        rows = np.arange(expect, dtype=np.int64) % n_rows + 1
+        cols = np.arange(expect, dtype=np.int64) // n_rows + 1
+    else:
+        lo = 1 if symmetry == "skew-symmetric" else 0
+        cols = np.repeat(np.arange(1, n_cols + 1, dtype=np.int64),
+                         np.arange(n_rows, 0, -1) - lo)
+        starts = np.cumsum(np.concatenate(
+            [[0], np.arange(n_rows, 0, -1)[:-1] - lo]))
+        rows = (np.arange(expect, dtype=np.int64)
+                - np.repeat(starts, np.arange(n_rows, 0, -1) - lo)
+                + cols + lo)
+    keep = np.nonzero(nz)[0]
+    n = max(n_rows, n_cols)
+    edges = np.stack([rows[keep], cols[keep]], axis=1)
+    return (n, edges, vals[keep]) if with_values else (n, edges)
 
 
 def gen_weights(n: int, edges_1idx: np.ndarray, wmin: int, wmax: int, seed: int) -> Graph:

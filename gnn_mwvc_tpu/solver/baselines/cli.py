@@ -5,6 +5,7 @@ contracts (reference: README.md "Programs")::
     mwvc-baseline dynwvc2 [graph] [seed] [cutoff] [cc mode]
     mwvc-baseline numwvc  [graph] [seed] [cutoff]
     mwvc-baseline hils    [graph] --seed S --time T [--complement]
+    mwvc-baseline fastwvc-tuned [graph] [seed(unused)] [cutoff]
 
 Output: ``file,best_weight,best_time`` CSV (for hils: the IS weight, and the
 equivalent VC cost as ``file,is_weight,vc_cost,best_time``).
@@ -21,7 +22,8 @@ import numpy as np
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="mwvc-baseline")
     ap.add_argument("solver",
-                    choices=["fastwvc", "dynwvc2", "numwvc", "hils"])
+                    choices=["fastwvc", "dynwvc2", "numwvc", "hils",
+                             "fastwvc-tuned"])
     ap.add_argument("graph")
     ap.add_argument("seed", type=int, nargs="?", default=1)
     ap.add_argument("cutoff", type=float, nargs="?", default=10.0)
@@ -64,6 +66,39 @@ def main(argv=None):
         from gnn_mwvc_tpu.graph import Graph
 
         g = Graph(g.weights, edges)  # validate against the solved graph
+    if args.solver == "fastwvc-tuned":
+        # greedy degree/weight construction + the shared core local search
+        # under the adaptive step-size schedule (reference:
+        # old_files/src/apps/fastWVC_tuned.cpp:45-88; construction ratio
+        # deg/w descending, step size doubles on improvement, halves on
+        # stall, clamped to [2^10, 2^16])
+        import time as _time
+
+        from gnn_mwvc_tpu.core import CoreLocalSearch, greedy_cover
+
+        _cost0, s0 = greedy_cover(g.weights, edges)
+        ls = CoreLocalSearch(g.weights, edges, s0)
+        t0 = _time.perf_counter()
+        t_best = 0.0
+        step = 1 << 16
+        while (_time.perf_counter() - t0) < args.cutoff:
+            remaining = args.cutoff - (_time.perf_counter() - t0)
+            if ls.search(step, remaining):
+                t_best = _time.perf_counter() - t0
+                step = min(step * 2, 1 << 16)
+            else:
+                step = max(step // 2, 1 << 10)
+        vc = ls.best()
+        cost = int(ls.best_cost)
+        if not is_vertex_cover(g, vc):
+            print("Result is not a vertex cover")
+            return 1
+        assert cover_cost(g, vc) == cost
+        if args.out:
+            write_solution(args.out, vc)
+        print(f"{args.graph},{cost},{t_best:.4f}")
+        return 0
+
     hils_kw = {}
     if args.solver == "hils":
         hils_kw = dict(

@@ -39,9 +39,11 @@ def main(argv=None):
                     help="no-GNN mode: weight/degree priority (QUICK_VC)")
     ap.add_argument("--model", default=None)
     ap.add_argument("--json", action="store_true")
-    ap.add_argument("--device-assist", action="store_true",
+    ap.add_argument("--device-assist", action=argparse.BooleanOptionalAction,
+                    default=None,
                     help="device-assisted phase 2: GNN-guided kicks + "
-                         "device-batched exact region patches")
+                         "device-batched exact region patches (default: on "
+                         "when an accelerator is present)")
     args = ap.parse_args(argv)
 
     from gnn_mwvc_tpu.graphio import read_metis, write_solution
@@ -74,7 +76,8 @@ def main(argv=None):
 
     res = solve(g, time_limit=args.time, relable_interval=args.k,
                 verbose=verbose, scorer=scorer,
-                device_assist=args.device_assist)
+                device_assist=("auto" if args.device_assist is None
+                               else args.device_assist))
 
     if not is_vertex_cover(g, res.solution):
         print("Result is not a vertex cover")

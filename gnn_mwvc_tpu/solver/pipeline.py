@@ -228,7 +228,7 @@ def solve(
     ls_ils_stall: int = 256,
     ls_ils_k: int = 16,
     ls_seed: int = 1,
-    device_assist: bool = False,
+    device_assist="auto",
     assist_batch: int = 1024,
     assist_rmax: int = 14,
 ) -> SolveResult:
@@ -245,12 +245,17 @@ def solve(
     ls_forget_after > 0 instead decays learned edge weights on stall
     (FastWVC ForgetEdgeWeights; kept for experiments, off by default).
 
-    device_assist=True puts the otherwise-idle device to work during
-    phase 2 (solver/device_assist.py): the kernel is re-scored once on
-    device, ILS kicks become model-misfit-guided, and a worker thread
-    exact-solves batches of boundary-conditioned <=16-vertex regions whose
+    device_assist puts the otherwise-idle device to work during phase 2
+    (solver/device_assist.py): the kernel is re-scored once on device, ILS
+    kicks become model-misfit-guided, and a worker process exact-solves
+    batches of boundary-conditioned <=16-vertex regions whose
     strictly-improving assignments are patched back between search
-    batches."""
+    batches.  Default "auto" (round 4, one default across solve/gnn-vc/
+    tools/canonical.py): ON whenever an accelerator is present — the
+    round-3 canonical record (guided kicks 4/4 A/B wins, assisted all-time
+    bests on road700/road900) justifies it — and OFF on CPU-only hosts,
+    where the worker would contend with the search thread for the same
+    cores instead of using an otherwise-idle resource."""
     t_start = time.perf_counter()
     if g.n == 0:
         return SolveResult(np.zeros(0, np.int8), 0, 0, 0.0, 0.0, 0.0, 0, 0,
@@ -323,6 +328,8 @@ def solve(
     assist = None
     kick_bias = None
     kick_bias_pending = None
+    if device_assist == "auto":
+        device_assist = pick_devices()[1] is not None
     if device_assist:
         import threading
 

@@ -164,24 +164,36 @@ class StickyGnnScorer:
         self._relay_sick = False
         self._dev_slow_streak = 0
         self._sick_round_ctr = 0
-        self._cpu_per_edge = None  # measured exact-CPU forward, s/edge
+        self._probe_ok_streak = 0
+        self._cpu_samples = []  # recent exact-CPU forward rates, s/edge
 
     PROBE_EVERY = 4
+    CPU_SAMPLES_KEPT = 5
+    PROBE_OK_CLEARS = 2
     _CPU_EDGES_PER_S_FLOOR = 4e6  # conservative local CPU forward rate
 
     # -- relay-outage policy (pure state updates; unit-tested) -----------
     def _cpu_estimate(self) -> float:
-        return self._cpu_per_edge or (1.0 / self._CPU_EDGES_PER_S_FLOOR)
+        if not self._cpu_samples:
+            return 1.0 / self._CPU_EDGES_PER_S_FLOOR
+        # median of the recent samples: on a 2-CPU host contended by the
+        # peel and the assist worker a single anomalous CPU round would
+        # otherwise skew the bail threshold in either direction (ADVICE
+        # r3 #2)
+        s = sorted(self._cpu_samples)
+        return s[len(s) // 2]
 
     def _note_cpu_round(self, seconds: float, edges: int):
         if edges > 0 and seconds > 0:
-            self._cpu_per_edge = seconds / edges
+            self._cpu_samples.append(seconds / edges)
+            del self._cpu_samples[: -self.CPU_SAMPLES_KEPT]
 
     def _note_device_round(self, seconds: float, edges: int):
         """Returns True if the device is (still) considered healthy."""
         per_edge = seconds / max(edges, 1)
         if per_edge > self._cpu_estimate():
             self._dev_slow_streak += 1
+            self._probe_ok_streak = 0
             if self._dev_slow_streak >= 2 and not self._relay_sick:
                 self._relay_sick = True
                 self._sick_round_ctr = 0
@@ -189,8 +201,16 @@ class StickyGnnScorer:
                     self.stats.get("relay_bails", 0) + 1)
         else:
             self._dev_slow_streak = 0
-            if self._relay_sick and per_edge < 0.5 * self._cpu_estimate():
-                self._relay_sick = False  # probe came back fast
+            if self._relay_sick:
+                # clear on one decisive probe (<0.5x the CPU rate) or on
+                # PROBE_OK_CLEARS consecutive at-parity probes — without
+                # the streak path, a relay recovered to 0.5-1.0x CPU
+                # stayed pinned on the host indefinitely (ADVICE r3 #3)
+                self._probe_ok_streak += 1
+                if (per_edge < 0.5 * self._cpu_estimate()
+                        or self._probe_ok_streak >= self.PROBE_OK_CLEARS):
+                    self._relay_sick = False
+                    self._probe_ok_streak = 0
         return not self._relay_sick
 
     def _route_cpu_this_round(self) -> bool:

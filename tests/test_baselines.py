@@ -130,3 +130,30 @@ def test_baseline_road_differential(which, oracle_dir, road90):
     # within noise of the binary: never worse than 0.5%, and BASELINE.md
     # records that three of the four actually beat their binaries
     assert cost <= ref_cost * 1.005, (which, cost, ref_cost)
+
+
+def test_fastwvc_tuned_cli(tmp_path, capsys):
+    """fastwvc-tuned subcommand (round 4, closes the last reference app
+    gap — old_files/src/apps/fastWVC_tuned.cpp): greedy construction +
+    shared local search must beat the bare construction and emit the CSV
+    contract."""
+    from gnn_mwvc_tpu.core import greedy_cover
+    from gnn_mwvc_tpu.graphio import read_solution, write_metis
+    from gnn_mwvc_tpu.solver.baselines.cli import main as bl_main
+    from tests.conftest import random_graph
+
+    g = random_graph(1500, 8, seed=6, wmax=100)
+    path = str(tmp_path / "g.metis")
+    write_metis(path, g)
+    out = str(tmp_path / "g.sol")
+    greedy_cost, _ = greedy_cover(g.weights, g.edge_array())
+    rc = bl_main(["fastwvc-tuned", path, "1", "2", "--out", out])
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    parts = line.split(",")
+    assert parts[0] == path
+    cost = int(parts[1])
+    assert cost < greedy_cost
+    vc = read_solution(out)
+    assert is_vertex_cover(g, vc)
+    assert cover_cost(g, vc) == cost

@@ -187,3 +187,68 @@ def test_device_assist_worker_width20():
         assert assist.stats["gain"] > 0
     finally:
         assist.stop()
+
+
+def test_worker_outage_fallback_cpu_batches(monkeypatch):
+    """While the device program load is in flight the worker must serve
+    batches on the CPU enumeration kernel (round-4 outage policy: the
+    r3c/r3d canonical outage runs recorded batches=0 for whole runs)."""
+    import time
+
+    from gnn_mwvc_tpu.solver.device_assist import DeviceAssist
+
+    monkeypatch.setenv("GNN_MWVC_ASSIST_TEST_CPU", "1")
+    monkeypatch.setenv("GNN_MWVC_ASSIST_FAKE_WARM", "6.0")
+    g = random_graph(800, 8, seed=7, wmax=100)
+    s0 = np.ones(g.n, np.uint8)
+    ls = CoreLocalSearch(g.weights, g.edge_array(), s0)
+    assist = DeviceAssist(np.full(g.n, 0.5, np.float32), device="tpu",
+                          batch=32)
+    try:
+        deadline = time.time() + 180
+        while assist.stats["batches_cpu"] == 0 and time.time() < deadline:
+            assist.tick(ls)
+            time.sleep(0.1)
+        # pre-warm batches flowed on the CPU path
+        assert assist.stats["batches_cpu"] >= 1
+        assert assist.stats["patches"] >= 1
+        # after the (fake) load lands, batches switch to the device path
+        deadline = time.time() + 60
+        while assist.stats["batches_device"] == 0 and time.time() < deadline:
+            assist.tick(ls)
+            time.sleep(0.1)
+        assert assist.stats["batches_device"] >= 1
+        assert assist.stats.get("t_worker_warm_s") == 6.0
+        assert (assist.stats["batches"]
+                == assist.stats["batches_cpu"]
+                + assist.stats["batches_device"])
+    finally:
+        assist.stop()
+
+
+def test_worker_rmax_clamped_when_accelerator_absent(monkeypatch):
+    """rmax>16 with device='tpu' in a CPU-only environment must clamp to
+    the width-16 enumeration path instead of interpret-mode pallas
+    (ADVICE r3 #1)."""
+    import time
+
+    monkeypatch.setenv("GNN_MWVC_ASSIST_TEST_CPU", "1")
+
+    from gnn_mwvc_tpu.solver.device_assist import DeviceAssist
+
+    g = random_graph(600, 8, seed=11, wmax=100)
+    s0 = np.ones(g.n, np.uint8)
+    ls = CoreLocalSearch(g.weights, g.edge_array(), s0)
+    assist = DeviceAssist(np.full(g.n, 0.5, np.float32), device="tpu",
+                          batch=32, rmax=20)
+    try:
+        deadline = time.time() + 180
+        while assist.stats["batches"] == 0 and time.time() < deadline:
+            assist.tick(ls)
+            time.sleep(0.1)
+        assert assist.stats["batches"] >= 1
+        assert assist.rmax == 16
+        assert assist.stats.get("rmax_clamped") is True
+        assert assist.stats["worker_platform"] == "cpu"
+    finally:
+        assist.stop()

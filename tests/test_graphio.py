@@ -151,12 +151,58 @@ def test_mtx_skew_symmetric_rejects_diagonal():
             "3 3 1\n2 2\n"))
 
 
-def test_mtx_array_format_clear_error():
+def test_mtx_array_real_general():
+    """Dense array reading (round 4, closes the last mmio.c gap): nonzero
+    entries in column-major order become edges."""
     from gnn_mwvc_tpu.graphio.edgelist import read_mtx_edges
-    with pytest.raises(ValueError, match="array"):
+    # 2x2 column-major [[1,3],[2,0]] -> nonzeros (1,1),(2,1),(1,2)
+    n, e, v = read_mtx_edges(_mtx(
+        "%%MatrixMarket matrix array real general\n",
+        "2 2\n1.0\n2.0\n3.0\n0.0\n"), with_values=True)
+    assert n == 2
+    np.testing.assert_array_equal(e, [[1, 1], [2, 1], [1, 2]])
+    np.testing.assert_allclose(v, [1.0, 2.0, 3.0])
+
+
+def test_mtx_array_symmetric_lower_triangle():
+    from gnn_mwvc_tpu.graphio.edgelist import read_mtx_edges
+    # 3x3 symmetric, lower triangle col-major: (1,1),(2,1),(3,1),(2,2),
+    # (3,2),(3,3); zero out (1,1),(3,2)
+    n, e = read_mtx_edges(_mtx(
+        "%%MatrixMarket matrix array real symmetric\n",
+        "3 3\n0\n5\n6\n7\n0\n8\n"))
+    assert n == 3
+    np.testing.assert_array_equal(e, [[2, 1], [3, 1], [2, 2], [3, 3]])
+
+
+def test_mtx_array_skew_and_complex():
+    from gnn_mwvc_tpu.graphio.edgelist import read_mtx_edges
+    # skew 3x3: strict lower triangle col-major (2,1),(3,1),(3,2)
+    n, e = read_mtx_edges(_mtx(
+        "%%MatrixMarket matrix array real skew-symmetric\n",
+        "3 3\n4\n0\n-4\n"))
+    np.testing.assert_array_equal(e, [[2, 1], [3, 2]])
+    # complex hermitian 2x2: (1,1),(2,1),(2,2); entry nonzero if either
+    # component is, real part kept as the value
+    n, e, v = read_mtx_edges(_mtx(
+        "%%MatrixMarket matrix array complex hermitian\n",
+        "2 2\n0 0\n3.5 -1\n0 2\n"), with_values=True)
+    np.testing.assert_array_equal(e, [[2, 1], [2, 2]])
+    np.testing.assert_allclose(v, [3.5, 0.0])
+
+
+def test_mtx_array_errors():
+    from gnn_mwvc_tpu.graphio.edgelist import read_mtx_edges
+    with pytest.raises(ValueError, match="pattern"):
         read_mtx_edges(_mtx(
-            "%%MatrixMarket matrix array real general\n",
-            "2 2\n1.0\n2.0\n3.0\n4.0\n"))
+            "%%MatrixMarket matrix array pattern general\n", "2 2\n"))
+    with pytest.raises(ValueError, match="entries"):
+        read_mtx_edges(_mtx(
+            "%%MatrixMarket matrix array real general\n", "2 2\n1\n2\n"))
+    with pytest.raises(ValueError, match="square"):
+        read_mtx_edges(_mtx(
+            "%%MatrixMarket matrix array real symmetric\n",
+            "2 3\n1\n2\n3\n"))
 
 
 def test_mtx_bannerless_pattern_compat():

@@ -192,10 +192,11 @@ def test_relay_bail_policy():
     s._relay_sick = False
     s._dev_slow_streak = 0
     s._sick_round_ctr = 0
-    s._cpu_per_edge = None
+    s._probe_ok_streak = 0
+    s._cpu_samples = []
 
     s._note_cpu_round(4.0, 8_000_000)          # CPU: 0.5 us/edge
-    assert s._cpu_per_edge == 4.0 / 8_000_000
+    assert s._cpu_estimate() == 4.0 / 8_000_000
 
     # healthy device: 100x faster than CPU
     assert s._note_device_round(0.04, 8_000_000)
@@ -234,7 +235,55 @@ def test_relay_bail_policy():
     s2._relay_sick = False
     s2._dev_slow_streak = 0
     s2._sick_round_ctr = 0
-    s2._cpu_per_edge = None
+    s2._probe_ok_streak = 0
+    s2._cpu_samples = []
     s2._note_device_round(3.0, 8_000_000)       # 1.5x the floor estimate
     s2._note_device_round(3.0, 8_000_000)
     assert s2._relay_sick
+
+
+def test_relay_bail_calibration_robust_and_hysteresis_clears():
+    """Round-4 policy refinements (ADVICE r3 #2/#3): the CPU estimate is
+    the median of recent rounds, and a relay recovered only to parity
+    (0.5-1.0x CPU) clears the sick state after two consecutive at-parity
+    probes instead of staying pinned on the host."""
+    s = StickyGnnScorer.__new__(StickyGnnScorer)
+    s.stats = {}
+    s._relay_sick = False
+    s._dev_slow_streak = 0
+    s._sick_round_ctr = 0
+    s._probe_ok_streak = 0
+    s._cpu_samples = []
+
+    # one contended outlier (10x) must not skew the median estimate
+    for _ in range(3):
+        s._note_cpu_round(4.0, 8_000_000)
+    s._note_cpu_round(40.0, 8_000_000)
+    assert s._cpu_estimate() == 4.0 / 8_000_000
+    # ...and only the last CPU_SAMPLES_KEPT samples are kept
+    for _ in range(5):
+        s._note_cpu_round(8.0, 8_000_000)
+    assert s._cpu_estimate() == 8.0 / 8_000_000
+
+    # trip the bail
+    s._note_device_round(30.0, 8_000_000)
+    s._note_device_round(30.0, 8_000_000)
+    assert s._relay_sick
+
+    # probes at 0.75x CPU (dead band under the old policy): the second
+    # consecutive at-parity probe clears the sick state
+    s._note_device_round(6.0, 8_000_000)
+    assert s._relay_sick and s._probe_ok_streak == 1
+    s._note_device_round(6.0, 8_000_000)
+    assert not s._relay_sick
+
+    # a slow round between at-parity probes resets the streak
+    s._note_device_round(30.0, 8_000_000)
+    s._note_device_round(30.0, 8_000_000)
+    assert s._relay_sick
+    s._note_device_round(6.0, 8_000_000)
+    s._note_device_round(30.0, 8_000_000)   # relapse
+    assert s._probe_ok_streak == 0 and s._relay_sick
+    # decisive fast probe still clears immediately
+    s._note_device_round(0.05, 8_000_000)
+    assert not s._relay_sick

@@ -97,7 +97,15 @@ def main(argv=None):
                     help="region size cap; >16 uses the pallas 2^20 "
                          "meet-in-the-middle kernel (width-20 extraction)")
     ap.add_argument("--out", default="/tmp/assist_ab.json")
+    ap.add_argument("--probe", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="relay-health gate before the timed A/B "
+                         "(tools/relay_probe.py)")
+    ap.add_argument("--force", action="store_true")
     args = ap.parse_args(argv)
+
+    from tools.relay_probe import gate
+    probe = gate(force=args.force, skip=not args.probe)
 
     kern = dict(np.load(args.kernel))
     init = int(kern["initial_cost"])
@@ -110,8 +118,8 @@ def main(argv=None):
             rows.append(r)
             print(json.dumps(r), flush=True)
     with open(args.out, "w") as f:
-        json.dump({"kernel": args.kernel, "time": args.time, "rows": rows},
-                  f, indent=1)
+        json.dump({"kernel": args.kernel, "time": args.time, "rows": rows,
+                   "relay_probe": probe}, f, indent=1)
 
 
 if __name__ == "__main__":

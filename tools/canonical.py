@@ -28,11 +28,21 @@ def main(argv=None):
     ap.add_argument("--tag", default="run")
     ap.add_argument("--out", default=None)
     ap.add_argument("--device-assist", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="device-assisted phase 2 (default: on when an "
+                         "accelerator is present — the unified 'auto' "
+                         "default; --no-device-assist reverts to the "
+                         "round-2 ILS)")
+    ap.add_argument("--probe", action=argparse.BooleanOptionalAction,
                     default=True,
-                    help="device-assisted phase 2 (default on since the "
-                         "round-3 canonical record; --no-device-assist "
-                         "reverts to the round-2 ILS)")
+                    help="relay-health probe before the timed run "
+                         "(tools/relay_probe.py); refuses a sick window")
+    ap.add_argument("--force", action="store_true",
+                    help="proceed even if the relay probe is unhealthy")
     args = ap.parse_args(argv)
+
+    from tools.relay_probe import gate
+    probe = gate(force=args.force, skip=not args.probe)
 
     from bench import build_road_graph
     from gnn_mwvc_tpu.graphio import cover_cost, is_vertex_cover
@@ -46,7 +56,8 @@ def main(argv=None):
           flush=True)
 
     scorer = StickyGnnScorer()
-    kw = {"device_assist": True} if args.device_assist else {}
+    kw = {"device_assist": ("auto" if args.device_assist is None
+                            else args.device_assist)}
     t0 = time.perf_counter()
     res = solve(g, time_limit=args.time, reorder=True, ls_seed=args.seed,
                 verbose=True, scorer=scorer, **kw)
@@ -61,8 +72,9 @@ def main(argv=None):
         "t_gnn": round(res.time_gnn, 1), "wall": round(wall, 1),
         "ls_steps": int(res.ls_steps),
         "scorer": {k: v for k, v in scorer.stats.items()},
-        "device_assist": args.device_assist,
+        "device_assist": res.assist_stats is not None,
         "assist": res.assist_stats,
+        "relay_probe": probe,
     }
     print(f"{args.instance},{res.cost},{res.best_seen},"
           f"{res.time_to_best:.1f}", flush=True)

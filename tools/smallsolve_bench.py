@@ -27,12 +27,16 @@ def bench_fn(fn, adj, w, bursts, per):
     bc, bs = fn(adj, w)   # compile + one-time program load
     jax.block_until_ready((bc, bs))
     best = None
+    used = w > 0  # keep padding vertices at w=0 across perturbations
     for _ in range(bursts):
         t0 = time.perf_counter()
         for _ in range(per):
-            # chain: perturb weights with the previous output
-            w = ((w + (np.asarray(bs)[:, None] & 7)) % 997 + 1).astype(
-                np.int32)
+            # chain: perturb weights with the previous output (used
+            # vertices only — the instance population stays the stated
+            # generator's)
+            w = np.where(
+                used, (w + (np.asarray(bs)[:, None] & 7)) % 997 + 1, 0
+            ).astype(np.int32)
             bc, bs = fn(adj, w)
         jax.block_until_ready((bc, bs))
         dt = (time.perf_counter() - t0) / per
