@@ -324,9 +324,20 @@ def _aggregate(h, g, n_loc, blocked_plan):
 
 def _layer_stack(kinds, params, x, g, deg, w, nw, ws, n_loc,
                  compat=True, precision=jax.lax.Precision.HIGHEST,
-                 blocked_plan=None):
-    """Shared layer walk; runs inside shard_map (axis name "graph")."""
+                 blocked_plan=None, source_mask=None,
+                 x_is_node_weights=False):
+    """Shared layer walk; runs inside shard_map (axis name "graph").
+
+    source_mask: (n_loc,) 0/1 — masked-rescore mode (the sharded analog of
+    models/gnn.py forward's source_mask): the partitioned structure is a
+    SUPERSET of the live graph, so masked-out features are zeroed before
+    every aggregation (bias terms re-introduce nonzeros on dead rows after
+    linear layers).  x_is_node_weights: first message-passing round is
+    analytic (sum over live N(u) of W(v)/ws == NW(u)/ws, a refreshed
+    per-node stat) — it skips that round's halo exchange entirely.
+    """
     h = x
+    first_graph = True
     for kind, p in zip(kinds, params):
         if kind == "linear":
             h = (
@@ -339,7 +350,13 @@ def _layer_stack(kinds, params, x, g, deg, w, nw, ws, n_loc,
             h = jax.nn.sigmoid(h)
         else:  # graph layer: halo exchange + local aggregation
             width = h.shape[1]
-            agg = _aggregate(h, g, n_loc, blocked_plan)
+            if first_graph and x_is_node_weights:
+                agg = (nw / ws).reshape(-1, 1).astype(h.dtype)
+            else:
+                if source_mask is not None:
+                    h = h * source_mask[:, None].astype(h.dtype)
+                agg = _aggregate(h, g, n_loc, blocked_plan)
+            first_graph = False
             stats = jnp.stack([deg, w / ws, nw / ws], axis=1).astype(h.dtype)
             if compat:
                 out = jnp.concatenate(
@@ -364,12 +381,21 @@ def _edge_arrays(sg: ShardedGraph):
 
 
 def make_sharded_forward(kinds, mesh: Mesh, compat: bool = True,
-                         precision=jax.lax.Precision.HIGHEST):
+                         precision=jax.lax.Precision.HIGHEST,
+                         masked: bool = False,
+                         x_is_node_weights: bool = False):
     """Build a jitted sharded scorer: (params, sg, ws) -> (P, n_loc) scores.
 
     When the ShardedGraph carries per-shard windowed plans (partition with
     aggregation="blocked"), each shard aggregates with MXU one-hot matmuls
     instead of a scatter.
+
+    masked=True builds the masked-rescore variant used by the sharded
+    sticky scorer (solver/sharded_score.py): the input features are
+    node_mask-gated and re-masked before every aggregation, so a static
+    partition whose structure is a superset of the live graph scores the
+    live graph exactly.  x_is_node_weights skips the first round's halo
+    exchange via the analytic NW/ws shortcut (models/gnn.py forward).
     """
     cache = {}
 
@@ -379,8 +405,8 @@ def make_sharded_forward(kinds, mesh: Mesh, compat: bool = True,
             return cache[key]
         has_blocked = ncls > 0
 
-        def local_fwd(params, g, blk, wdnw, ws):
-            w, d, nw = (a[0] for a in wdnw)
+        def local_fwd(params, g, blk, wdnwm, ws):
+            w, d, nw, m = (a[0] for a in wdnwm)
             g = {k: v[0] for k, v in g.items()}
             n_loc = w.shape[0]
             plan = None
@@ -394,10 +420,15 @@ def make_sharded_forward(kinds, mesh: Mesh, compat: bool = True,
                     lsrc=tuple(a[0] for a in blk[2]),
                     ldst=tuple(a[0] for a in blk[3]),
                 )
+            mf = m.astype(jnp.float32)
             x = (w / ws).reshape(-1, 1)
+            if masked:
+                x = x * mf[:, None]
             h = _layer_stack(kinds, params, x, g, d, w, nw, ws,
                              n_loc, compat=compat, precision=precision,
-                             blocked_plan=plan)
+                             blocked_plan=plan,
+                             source_mask=mf if masked else None,
+                             x_is_node_weights=x_is_node_weights)
             return h[:, 0][None]
 
         if has_blocked:
@@ -412,7 +443,7 @@ def make_sharded_forward(kinds, mesh: Mesh, compat: bool = True,
         smap = jax.shard_map(
             local_fwd,
             mesh=mesh,
-            in_specs=(P(), specs, blk_spec, (P("graph", None),) * 3, P()),
+            in_specs=(P(), specs, blk_spec, (P("graph", None),) * 4, P()),
             out_specs=P("graph", None),
             check_vma=False,
         )
@@ -429,7 +460,8 @@ def make_sharded_forward(kinds, mesh: Mesh, compat: bool = True,
         else:
             blk = ()
             fn = get_fn(("sct", sg.halo), 0, 0, 0, specs)
-        return fn(params, g, blk, (sg.weights, sg.degrees, sg.nw),
+        return fn(params, g, blk,
+                  (sg.weights, sg.degrees, sg.nw, sg.node_mask),
                   jnp.float32(ws))
 
     return scorer

@@ -44,6 +44,11 @@ def main(argv=None):
                     help="device-assisted phase 2: GNN-guided kicks + "
                          "device-batched exact region patches (default: on "
                          "when an accelerator is present)")
+    ap.add_argument("--shards", type=int, default=0,
+                    help="score phase 1 over an N-device mesh "
+                         "(jax.sharding; edge-partitioned halo-exchange "
+                         "forward, solver/sharded_score.py); 0 = "
+                         "single-device scoring")
     args = ap.parse_args(argv)
 
     from gnn_mwvc_tpu.graphio import read_metis, write_solution
@@ -64,14 +69,19 @@ def main(argv=None):
     if verbose:
         print(f"{name}, N = {g.n}, E = {g.m}")
 
+    model = None
+    if args.model:
+        from gnn_mwvc_tpu.models import load_model
+
+        model = load_model(args.model)
     if args.quick:
         scorer = QuickScorer()
-    else:
-        model = None
-        if args.model:
-            from gnn_mwvc_tpu.models import load_model
+    elif args.shards:
+        from gnn_mwvc_tpu.parallel import make_mesh
+        from gnn_mwvc_tpu.solver.sharded_score import ShardedGnnScorer
 
-            model = load_model(args.model)
+        scorer = ShardedGnnScorer(model, mesh=make_mesh(args.shards))
+    else:
         scorer = GnnScorer(model)
 
     res = solve(g, time_limit=args.time, relable_interval=args.k,
