@@ -104,7 +104,9 @@ def _pad128(k: int, floor: int = 128) -> int:
 
 def partition_device_graph(dg: DeviceGraph, parts: int,
                            aggregation: str = "scatter",
-                           halo: bool = True) -> ShardedGraph:
+                           halo: bool = True,
+                           shape_template: ShardedGraph | None = None,
+                           ) -> ShardedGraph | None:
     """Split a DeviceGraph into *parts* contiguous node ranges.
 
     Edges go to the shard owning their destination; per-shard edge slots are
@@ -113,11 +115,34 @@ def partition_device_graph(dg: DeviceGraph, parts: int,
     rows its peers actually reference, one all_to_all exchanges them, and
     boundary edges read the received halo buffer.  halo=False keeps the
     full-feature all-gather.
+
+    shape_template: a previously-built ShardedGraph whose exact array
+    shapes this partition must reuse (the mesh analog of
+    DeviceGraph.build(shape_template=...), ADVICE r4 #2).  A rebuilt
+    kernel padded into the template's shapes is served by the jit program
+    already traced/loaded for the template — on the relay-backed TPU mesh
+    a fresh shape would cost a 30 s-5 min one-time load mid-phase-1.
+    Returns None when the graph outgrew any template dimension (callers
+    fall back; mid-solve kernels only shrink, so overflow means gadget
+    churn restructured the boundary).
     """
-    n_loc = max(-(-dg.n_pad // parts), 8)
+    tmpl = shape_template
+    if tmpl is not None:
+        if (tmpl.parts != parts or tmpl.halo != (halo and parts > 1)
+                or tmpl.has_blocked != (aggregation == "blocked")):
+            return None
+        if dg.n_pad > parts * tmpl.n_loc:
+            return None
+        n_loc = tmpl.n_loc
+    else:
+        n_loc = max(-(-dg.n_pad // parts), 8)
     shard = np.minimum(dg.row[: dg.e] // n_loc, parts - 1)
     counts = np.bincount(shard, minlength=parts)
     e_loc = _pad128(counts.max() if len(counts) else 1)
+    if tmpl is not None:
+        if e_loc > tmpl.e_loc:
+            return None
+        e_loc = tmpl.e_loc
 
     w = np.zeros((parts, n_loc), dtype=np.float32)
     d = np.zeros((parts, n_loc), dtype=np.float32)
@@ -164,6 +189,10 @@ def partition_device_graph(dg: DeviceGraph, parts: int,
             u_pq, return_index=True, return_counts=True)
         h_max = int(blk_counts.max()) if len(blk_counts) else 0
         h_max = int(max(8, -(-h_max // 8) * 8))
+        if tmpl is not None:
+            if h_max > tmpl.h_max:
+                return None
+            h_max = tmpl.h_max
         # sender q packs rows need[p][q] into slot block p
         send_idx = np.zeros((parts, parts * h_max), dtype=np.int32)
         if len(uniq):
@@ -196,6 +225,12 @@ def partition_device_graph(dg: DeviceGraph, parts: int,
             e_int_max = max(e_int_max, len(r_i))
             e_bnd_max = max(e_bnd_max, len(r_b))
         e_int, e_bnd = _pad128(e_int_max), _pad128(e_bnd_max)
+        if tmpl is not None:
+            te_int = int(tmpl.row_int.shape[1])
+            te_bnd = int(tmpl.row_bnd.shape[1])
+            if e_int > te_int or e_bnd > te_bnd:
+                return None
+            e_int, e_bnd = te_int, te_bnd
         row_int = np.full((parts, e_int), n_loc, dtype=np.int32)
         col_int = np.zeros((parts, e_int), dtype=np.int32)
         row_bnd = np.full((parts, e_bnd), n_loc, dtype=np.int32)
@@ -243,9 +278,19 @@ def partition_device_graph(dg: DeviceGraph, parts: int,
             plans.append(build_blocked(loc_indptr, cl[srt], n_loc,
                                        n_src=n_src, as_numpy=True))
         ncls = len(plans[0].src_win)
+        if tmpl is not None and (
+                len(tmpl.blk_src_win) != ncls
+                or plans[0].n_win != tmpl.blk_n_win
+                or plans[0].n_src_win != tmpl.blk_n_src_win):
+            return None
         stk = {k: [] for k in ("sw", "dw", "ls", "ld")}
         for c in range(ncls):
             cmax = max(pl.src_win[c].shape[0] for pl in plans)
+            if tmpl is not None:
+                t_cmax = int(tmpl.blk_src_win[c].shape[1])
+                if cmax > t_cmax:
+                    return None
+                cmax = t_cmax
             size = plans[0].lsrc[c].shape[1]
             n_win = plans[0].n_win
             sw = np.zeros((parts, cmax), np.int32)

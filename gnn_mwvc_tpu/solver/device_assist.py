@@ -161,7 +161,13 @@ def _worker_main(jobs, results, device_kind, batch, width):
         adj, w = job
         try:
             t0 = time.perf_counter()
-            use_device = warm["state"] == "hot" and on_accel
+            # the device path is only valid at the warmed (batch, width)
+            # shape: a job at any other width would mint a fresh device
+            # program mid-run (one-time relay load, 6-314 s healthy) — a
+            # width-16 job racing the "warmed" notice goes to the CPU
+            # enumeration kernel instead.
+            use_device = (warm["state"] == "hot" and on_accel
+                          and adj.shape[1] == width)
             if not use_device and adj.shape[1] > 16 and on_accel:
                 # width-20 pre-warm job (parent raced the "warmed" notice,
                 # or an explicit wide dispatch): the device kernel is the
@@ -169,7 +175,8 @@ def _worker_main(jobs, results, device_kind, batch, width):
                 # the host CPUs on interpret mode.
                 while warm["state"] == "loading":
                     time.sleep(0.1)
-                use_device = warm["state"] == "hot"
+                use_device = (warm["state"] == "hot"
+                              and adj.shape[1] == width)
             if use_device:
                 bc, bs = device_solve(adj, w)
                 path = "device"

@@ -53,7 +53,134 @@ from gnn_mwvc_tpu.graph import DeviceGraph
 from gnn_mwvc_tpu.models import Model, load_pretrained
 from gnn_mwvc_tpu.models.gnn import forward
 
-__all__ = ["StickyGnnScorer"]
+__all__ = ["StickyGnnScorer", "RelayPolicyMixin"]
+
+
+class RelayPolicyMixin:
+    """Relay-outage bail + warm-overlap machinery, shared by the
+    single-chip StickyGnnScorer and the mesh ShardedGnnScorer.
+
+    Bail policy (round 3c): the relay's execution throughput can collapse
+    3-10x for whole minutes (measured: road1600 phase 1 600 s vs 274 s,
+    same build, same round counts).  When two consecutive device rounds
+    run SLOWER PER EDGE than the exact CPU forward, route rounds to the
+    CPU and re-probe the device every PROBE_EVERY-th round; a probe under
+    half the CPU rate (or PROBE_OK_CLEARS at-parity probes) clears the
+    state.  Device-only policy: on the CPU backend there is nothing to
+    bail to.
+
+    Warm overlap: the FIRST device call of a process pays the one-time
+    program compile/load through the remote-compile relay (measured
+    30-314 s, BASELINE.md).  Instead of blocking the peel on it, dispatch
+    that call in a background thread (self._fn) and score the in-flight
+    rounds with the exact CPU forward; once the program is live every
+    later round takes the normal device path.
+    """
+
+    PROBE_EVERY = 4
+    CPU_SAMPLES_KEPT = 5
+    PROBE_OK_CLEARS = 2
+    _CPU_EDGES_PER_S_FLOOR = 4e6  # conservative local CPU forward rate
+
+    def _init_relay_policy(self):
+        self._relay_sick = False
+        self._dev_slow_streak = 0
+        self._sick_round_ctr = 0
+        self._probe_ok_streak = 0
+        self._cpu_samples = []  # recent exact-CPU forward rates, s/edge
+        self._warmed = False
+        self._pending = None  # {"thread", "holder", "t0"}
+
+    # -- relay-outage policy (pure state updates; unit-tested) -----------
+    def _cpu_estimate(self) -> float:
+        if not self._cpu_samples:
+            return 1.0 / self._CPU_EDGES_PER_S_FLOOR
+        # median of the recent samples: on a 2-CPU host contended by the
+        # peel and the assist worker a single anomalous CPU round would
+        # otherwise skew the bail threshold in either direction (ADVICE
+        # r3 #2)
+        s = sorted(self._cpu_samples)
+        return s[len(s) // 2]
+
+    def _note_cpu_round(self, seconds: float, edges: int):
+        if edges > 0 and seconds > 0:
+            self._cpu_samples.append(seconds / edges)
+            del self._cpu_samples[: -self.CPU_SAMPLES_KEPT]
+
+    def _note_device_round(self, seconds: float, edges: int):
+        """Returns True if the device is (still) considered healthy."""
+        per_edge = seconds / max(edges, 1)
+        if per_edge > self._cpu_estimate():
+            self._dev_slow_streak += 1
+            self._probe_ok_streak = 0
+            if self._dev_slow_streak >= 2 and not self._relay_sick:
+                self._relay_sick = True
+                self._sick_round_ctr = 0
+                self.stats["relay_bails"] = (
+                    self.stats.get("relay_bails", 0) + 1)
+        else:
+            self._dev_slow_streak = 0
+            if self._relay_sick:
+                # clear on one decisive probe (<0.5x the CPU rate) or on
+                # PROBE_OK_CLEARS consecutive at-parity probes — without
+                # the streak path, a relay recovered to 0.5-1.0x CPU
+                # stayed pinned on the host indefinitely (ADVICE r3 #3)
+                self._probe_ok_streak += 1
+                if (per_edge < 0.5 * self._cpu_estimate()
+                        or self._probe_ok_streak >= self.PROBE_OK_CLEARS):
+                    self._relay_sick = False
+                    self._probe_ok_streak = 0
+        return not self._relay_sick
+
+    def _route_cpu_this_round(self) -> bool:
+        """True = skip the device this round (sick, and not a probe)."""
+        if not self._relay_sick:
+            return False
+        self._sick_round_ctr += 1
+        if self._sick_round_ctr % self.PROBE_EVERY == 0:
+            return False  # probe the device
+        self.stats["relay_sick_rounds"] = (
+            self.stats.get("relay_sick_rounds", 0) + 1)
+        return True
+
+    # -- warm overlap ----------------------------------------------------
+    def _dispatch_async(self, args):
+        """Run the first fused call in a daemon thread; the thread owns the
+        donated buffers until harvested."""
+        import threading
+
+        import jax
+
+        holder = {}
+
+        def run():
+            try:
+                out = self._fn(*args)
+                jax.block_until_ready(out)
+                holder["out"] = out
+            except Exception as exc:  # surfaced at harvest
+                holder["err"] = exc
+
+        th = threading.Thread(target=run, daemon=True,
+                              name="sticky-warmup")
+        th.start()
+        self._pending = {"thread": th, "holder": holder,
+                         "t0": time.perf_counter()}
+
+    def _harvest_pending(self):
+        """Join the warmup call; returns its score array (only meaningful
+        when harvesting in the same round the call was dispatched)."""
+        p = self._pending
+        p["thread"].join()
+        self._pending = None
+        if "err" in p["holder"]:
+            raise p["holder"]["err"]
+        out = p["holder"]["out"]
+        self._bufs = tuple(out[1:])
+        self._warmed = True
+        self.stats["t_warmup_s"] = round(
+            time.perf_counter() - p["t0"], 1)
+        return out[0]
 
 
 def _make_sticky_fn(kinds, name, compat, precision="highest"):
@@ -89,7 +216,7 @@ def _make_sticky_fn(kinds, name, compat, precision="highest"):
     return fn
 
 
-class StickyGnnScorer:
+class StickyGnnScorer(RelayPolicyMixin):
     """Drop-in scorer implementing the ``score_core`` protocol used by
     gnn_peel: score_core(core, weight_scale) -> (ids, prob, w, deg) over the
     currently active nodes (gadget nodes included with neutral prob)."""
@@ -150,79 +277,9 @@ class StickyGnnScorer:
         # forward on multi-M-edge kernels — so give the warmup thread
         # warm_wait_s to finish before paying for a CPU round.
         self.warm_wait_s = warm_wait_s
-        self._warmed = False
-        self._pending = None  # {"thread", "out", "t0"}
         self._cpu_fallback = None
-        # Relay-outage bail (round 3c): the relay's execution throughput
-        # can collapse 3-10x for whole minutes (measured: road1600 phase 1
-        # 600 s vs 274 s, same build, same round counts).  When two
-        # consecutive device rounds run SLOWER PER EDGE than the exact CPU
-        # forward, route rounds to the CPU and re-probe the device every
-        # PROBE_EVERY-th round; a probe under half the CPU rate clears the
-        # state.  Device-only policy: on the CPU backend there is nothing
-        # to bail to.
-        self._relay_sick = False
-        self._dev_slow_streak = 0
-        self._sick_round_ctr = 0
-        self._probe_ok_streak = 0
-        self._cpu_samples = []  # recent exact-CPU forward rates, s/edge
-
-    PROBE_EVERY = 4
-    CPU_SAMPLES_KEPT = 5
-    PROBE_OK_CLEARS = 2
-    _CPU_EDGES_PER_S_FLOOR = 4e6  # conservative local CPU forward rate
-
-    # -- relay-outage policy (pure state updates; unit-tested) -----------
-    def _cpu_estimate(self) -> float:
-        if not self._cpu_samples:
-            return 1.0 / self._CPU_EDGES_PER_S_FLOOR
-        # median of the recent samples: on a 2-CPU host contended by the
-        # peel and the assist worker a single anomalous CPU round would
-        # otherwise skew the bail threshold in either direction (ADVICE
-        # r3 #2)
-        s = sorted(self._cpu_samples)
-        return s[len(s) // 2]
-
-    def _note_cpu_round(self, seconds: float, edges: int):
-        if edges > 0 and seconds > 0:
-            self._cpu_samples.append(seconds / edges)
-            del self._cpu_samples[: -self.CPU_SAMPLES_KEPT]
-
-    def _note_device_round(self, seconds: float, edges: int):
-        """Returns True if the device is (still) considered healthy."""
-        per_edge = seconds / max(edges, 1)
-        if per_edge > self._cpu_estimate():
-            self._dev_slow_streak += 1
-            self._probe_ok_streak = 0
-            if self._dev_slow_streak >= 2 and not self._relay_sick:
-                self._relay_sick = True
-                self._sick_round_ctr = 0
-                self.stats["relay_bails"] = (
-                    self.stats.get("relay_bails", 0) + 1)
-        else:
-            self._dev_slow_streak = 0
-            if self._relay_sick:
-                # clear on one decisive probe (<0.5x the CPU rate) or on
-                # PROBE_OK_CLEARS consecutive at-parity probes — without
-                # the streak path, a relay recovered to 0.5-1.0x CPU
-                # stayed pinned on the host indefinitely (ADVICE r3 #3)
-                self._probe_ok_streak += 1
-                if (per_edge < 0.5 * self._cpu_estimate()
-                        or self._probe_ok_streak >= self.PROBE_OK_CLEARS):
-                    self._relay_sick = False
-                    self._probe_ok_streak = 0
-        return not self._relay_sick
-
-    def _route_cpu_this_round(self) -> bool:
-        """True = skip the device this round (sick, and not a probe)."""
-        if not self._relay_sick:
-            return False
-        self._sick_round_ctr += 1
-        if self._sick_round_ctr % self.PROBE_EVERY == 0:
-            return False  # probe the device
-        self.stats["relay_sick_rounds"] = (
-            self.stats.get("relay_sick_rounds", 0) + 1)
-        return True
+        # relay-outage bail + warm-overlap state (RelayPolicyMixin)
+        self._init_relay_policy()
 
     # -- plan lifecycle --------------------------------------------------
     def _rebuild(self, core):
@@ -296,45 +353,6 @@ class StickyGnnScorer:
                                  int(snap.deg.sum()))
         self.stats["legacy_rounds"] += 1
         return snap.ids, prob.astype(np.float32), snap.weights, snap.deg
-
-    # -- warm overlap ------------------------------------------------------
-    def _dispatch_async(self, args):
-        """Run the first fused call in a daemon thread; the thread owns the
-        donated buffers until harvested."""
-        import threading
-
-        import jax
-
-        holder = {}
-
-        def run():
-            try:
-                out = self._fn(*args)
-                jax.block_until_ready(out)
-                holder["out"] = out
-            except Exception as exc:  # surfaced at harvest
-                holder["err"] = exc
-
-        th = threading.Thread(target=run, daemon=True,
-                              name="sticky-warmup")
-        th.start()
-        self._pending = {"thread": th, "holder": holder,
-                         "t0": time.perf_counter()}
-
-    def _harvest_pending(self):
-        """Join the warmup call; returns its score array (only meaningful
-        when harvesting in the same round the call was dispatched)."""
-        p = self._pending
-        p["thread"].join()
-        self._pending = None
-        if "err" in p["holder"]:
-            raise p["holder"]["err"]
-        out = p["holder"]["out"]
-        self._bufs = tuple(out[1:])
-        self._warmed = True
-        self.stats["t_warmup_s"] = round(
-            time.perf_counter() - p["t0"], 1)
-        return out[0]
 
     # -- per-round scoring ----------------------------------------------
     def score_core(self, core, weight_scale: float):

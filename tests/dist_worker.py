@@ -68,7 +68,8 @@ def main():
     assert sg.halo
 
     arrs, _ = _edge_arrays(sg)
-    arrs.update(weights=sg.weights, degrees=sg.degrees, nw=sg.nw)
+    arrs.update(weights=sg.weights, degrees=sg.degrees, nw=sg.nw,
+                node_mask=sg.node_mask)
     lo, hi = pid * 2, pid * 2 + 2  # this process's shard rows
 
     def to_global(a):
@@ -92,6 +93,7 @@ def main():
         weights = garrs["weights"]
         degrees = garrs["degrees"]
         nw = garrs["nw"]
+        node_mask = garrs["node_mask"]
 
     out = fwd(gparams, SG(), ws)
     full = multihost_utils.process_allgather(out, tiled=True).reshape(-1)
