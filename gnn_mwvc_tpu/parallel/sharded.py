@@ -39,6 +39,7 @@ __all__ = [
     "ShardedGraph",
     "partition_device_graph",
     "make_sharded_forward",
+    "make_sticky_sharded_forward",
     "make_sharded_train_step",
 ]
 
@@ -106,6 +107,7 @@ def partition_device_graph(dg: DeviceGraph, parts: int,
                            aggregation: str = "scatter",
                            halo: bool = True,
                            shape_template: ShardedGraph | None = None,
+                           headroom: float = 1.0,
                            ) -> ShardedGraph | None:
     """Split a DeviceGraph into *parts* contiguous node ranges.
 
@@ -125,6 +127,13 @@ def partition_device_graph(dg: DeviceGraph, parts: int,
     Returns None when the graph outgrew any template dimension (callers
     fall back; mid-solve kernels only shrink, so overflow means gadget
     churn restructured the boundary).
+
+    headroom: multiplier on the data-dependent paddings (h_max, e_int,
+    e_bnd, e_loc) so a partition built as a future template absorbs the
+    boundary drift a shrinking-but-recompacted kernel induces (compaction
+    moves shard boundaries, so per-pair halo sets are not monotone in the
+    node count).  Blocked chunk arrays already carry growth-1.3 bucket
+    padding from build_blocked.  Ignored when shape_template is given.
     """
     tmpl = shape_template
     if tmpl is not None:
@@ -136,9 +145,10 @@ def partition_device_graph(dg: DeviceGraph, parts: int,
         n_loc = tmpl.n_loc
     else:
         n_loc = max(-(-dg.n_pad // parts), 8)
+    grow = (lambda x: int(x * headroom)) if tmpl is None else (lambda x: x)
     shard = np.minimum(dg.row[: dg.e] // n_loc, parts - 1)
     counts = np.bincount(shard, minlength=parts)
-    e_loc = _pad128(counts.max() if len(counts) else 1)
+    e_loc = _pad128(grow(counts.max() if len(counts) else 1))
     if tmpl is not None:
         if e_loc > tmpl.e_loc:
             return None
@@ -188,7 +198,7 @@ def partition_device_graph(dg: DeviceGraph, parts: int,
         blk_ids, blk_starts, blk_counts = np.unique(
             u_pq, return_index=True, return_counts=True)
         h_max = int(blk_counts.max()) if len(blk_counts) else 0
-        h_max = int(max(8, -(-h_max // 8) * 8))
+        h_max = int(max(8, -(-grow(h_max) // 8) * 8))
         if tmpl is not None:
             if h_max > tmpl.h_max:
                 return None
@@ -224,7 +234,7 @@ def partition_device_graph(dg: DeviceGraph, parts: int,
             per.append((r_i, c_i, r_b, c_b))
             e_int_max = max(e_int_max, len(r_i))
             e_bnd_max = max(e_bnd_max, len(r_b))
-        e_int, e_bnd = _pad128(e_int_max), _pad128(e_bnd_max)
+        e_int, e_bnd = _pad128(grow(e_int_max)), _pad128(grow(e_bnd_max))
         if tmpl is not None:
             te_int = int(tmpl.row_int.shape[1])
             te_bnd = int(tmpl.row_bnd.shape[1])
@@ -508,6 +518,99 @@ def make_sharded_forward(kinds, mesh: Mesh, compat: bool = True,
         return fn(params, g, blk,
                   (sg.weights, sg.degrees, sg.nw, sg.node_mask),
                   jnp.float32(ws))
+
+    return scorer
+
+
+def make_sticky_sharded_forward(kinds, mesh: Mesh, compat: bool = True,
+                                precision=jax.lax.Precision.HIGHEST):
+    """Fused per-shard delta-scatter + masked forward (the mesh analog of
+    static_score._make_sticky_fn).
+
+    The per-node feature buffers (weights/nw/degrees/mask, each (P, n_loc))
+    live on the mesh and are DONATED to every call; per-round uploads are
+    only the (P, k) changed-slot deltas — matching the single-chip sticky
+    scorer's ~n/16 delta economics instead of re-shipping the full
+    (4, P*n_loc) feature block each peel round (VERDICT r4 weak #4).  The
+    scatter runs INSIDE shard_map with per-shard local indices, so no
+    cross-shard collective is ever inserted for it; padding slots must
+    carry (idx, value) pairs that are no-ops (duplicates of a real update,
+    or the current value of local slot 0 — the caller guarantees this).
+
+    Returns scorer(params, sg, bufs, upd, ws) ->
+    (scores (P, n_loc), wts, nws, degs, mask) with the returned buffers
+    replacing the donated ones.  sg supplies only the static edge/plan
+    arrays; bufs = (wts, nws, degs, mask); upd = (idx, vw, vnw, vdeg, vm),
+    idx int32 (P, k) local row ids.
+    """
+    cache = {}
+
+    def get_fn(mode_key, n_win, n_src_win, ncls, specs):
+        key = (mode_key, n_win, n_src_win, ncls)
+        if key in cache:
+            return cache[key]
+        has_blocked = ncls > 0
+
+        def local_step(params, g, blk, bufs, upd, ws):
+            wts, nws, degs, mask = (a[0] for a in bufs)
+            idx, vw, vnw, vdeg, vm = (a[0] for a in upd)
+            g = {k: v[0] for k, v in g.items()}
+            wts = wts.at[idx].set(vw)
+            nws = nws.at[idx].set(vnw)
+            degs = degs.at[idx].set(vdeg)
+            mask = mask.at[idx].set(vm)
+            n_loc = wts.shape[0]
+            plan = None
+            if has_blocked:
+                from gnn_mwvc_tpu.ops.blocked import BlockedPlan
+
+                plan = BlockedPlan(
+                    n_pad=n_loc, n_win=n_win, n_src_win=n_src_win,
+                    src_win=tuple(a[0] for a in blk[0]),
+                    dst_win=tuple(a[0] for a in blk[1]),
+                    lsrc=tuple(a[0] for a in blk[2]),
+                    ldst=tuple(a[0] for a in blk[3]),
+                )
+            mf = mask.astype(jnp.float32)
+            x = (wts / ws).reshape(-1, 1) * mf[:, None]
+            h = _layer_stack(kinds, params, x, g, degs, wts, nws, ws,
+                             n_loc, compat=compat, precision=precision,
+                             blocked_plan=plan, source_mask=mf,
+                             x_is_node_weights=True)
+            return (h[:, 0][None], wts[None], nws[None], degs[None],
+                    mask[None])
+
+        if has_blocked:
+            blk_spec = (
+                tuple(P("graph", None) for _ in range(ncls)),
+                tuple(P("graph", None) for _ in range(ncls)),
+                tuple(P("graph", None, None) for _ in range(ncls)),
+                tuple(P("graph", None, None) for _ in range(ncls)),
+            )
+        else:
+            blk_spec = ()
+        smap = jax.shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(P(), specs, blk_spec, (P("graph", None),) * 4,
+                      (P("graph", None),) * 5, P()),
+            out_specs=(P("graph", None),) * 5,
+            check_vma=False,
+        )
+        fn = jax.jit(smap, donate_argnums=(3,))
+        cache[key] = fn
+        return fn
+
+    def scorer(params, sg: ShardedGraph, bufs, upd, ws):
+        g, specs = _edge_arrays(sg)
+        if sg.has_blocked:
+            blk = (sg.blk_src_win, sg.blk_dst_win, sg.blk_lsrc, sg.blk_ldst)
+            fn = get_fn(("blk", sg.halo), sg.blk_n_win, sg.blk_n_src_win,
+                        len(sg.blk_src_win), specs)
+        else:
+            blk = ()
+            fn = get_fn(("sct", sg.halo), 0, 0, 0, specs)
+        return fn(params, g, blk, bufs, upd, jnp.float32(ws))
 
     return scorer
 

@@ -217,7 +217,9 @@ def test_solve_with_sharded_scorer_end_to_end(mesh8, rnd_graph):
 
 def test_sharded_scorer_gadget_and_rebuild_policy(mesh8, rnd_graph):
     """Past the gadget drift bound the scorer rebuilds its partition; a
-    full peel through the sharded scorer stays exact end-to-end."""
+    full peel through the sharded scorer stays exact end-to-end.  Round 5:
+    drift rebuilds must be SHAPE-TEMPLATED into the first build's shapes
+    (no fresh jit program mid-peel — the relay wedge, ADVICE r4 #2)."""
     from gnn_mwvc_tpu.core import CoreSolver
     from gnn_mwvc_tpu.solver.pipeline import gnn_peel
     from gnn_mwvc_tpu.solver.sharded_score import ShardedGnnScorer
@@ -229,3 +231,167 @@ def test_sharded_scorer_gadget_and_rebuild_policy(mesh8, rnd_graph):
     gnn_peel(core, sh, ws)
     assert core.active_count == 0
     assert sh.stats["rounds"] >= 1 and sh.stats["rebuilds"] >= 1
+    # on a CPU mesh a template overflow (normal for locality-free random
+    # graphs: compaction packs the same density into fewer, fuller shard
+    # pairs) falls back to a natural rebuild, never to the dead state
+    assert not sh._dead
+
+
+def _shape_map(sg):
+    """Every field that participates in the jit program shape (array shapes
+    + static size fields; `n` is data, not shape)."""
+    import dataclasses
+
+    out = {}
+    for f in dataclasses.fields(type(sg)):
+        if f.name == "n":
+            continue
+        v = getattr(sg, f.name)
+        if hasattr(v, "shape"):
+            out[f.name] = tuple(v.shape)
+        elif isinstance(v, tuple):
+            out[f.name] = tuple(tuple(a.shape) for a in v)
+        else:
+            out[f.name] = v
+    return out
+
+
+def _shrunk_subgraph(g, frac=0.7, seed=1):
+    """Order-preserving random node subset — the compaction a mid-solve
+    kernel snapshot applies when the graph shrinks."""
+    from gnn_mwvc_tpu.graph import Graph
+
+    rng = np.random.default_rng(seed)
+    keep = np.sort(rng.choice(g.n, size=int(g.n * frac), replace=False))
+    newid = np.full(g.n, -1, np.int64)
+    newid[keep] = np.arange(len(keep))
+    e = g.edge_array()
+    m = (newid[e[:, 0]] >= 0) & (newid[e[:, 1]] >= 0)
+    return Graph(g.weights[keep], newid[e[m]])
+
+
+@pytest.mark.parametrize("aggregation", ["scatter", "blocked"])
+def test_partition_shape_template(mesh8, aggregation):
+    """partition_device_graph(shape_template=...) pads a shrunken kernel
+    into a previous partition's EXACT shapes (so the compiled mesh program
+    is reused) and still scores it exactly; overflow returns None."""
+    import bench
+
+    m = load_pretrained()
+    g_big = bench.build_road_graph(90)  # locality: the production regime
+    g_small = _shrunk_subgraph(g_big, 0.7)
+    dg_big = DeviceGraph.from_graph(g_big)
+    dg_small = DeviceGraph.from_graph(g_small)
+    tmpl = partition_device_graph(dg_big, 8, aggregation=aggregation)
+    sg_t = partition_device_graph(dg_small, 8, aggregation=aggregation,
+                                  shape_template=tmpl)
+    assert sg_t is not None
+    assert _shape_map(sg_t) == _shape_map(tmpl)
+    # scores through the templated partition == single-device scores
+    ws = float(g_small.weights.max())
+    single = np.asarray(score_graph(m, dg_small, ws))[: g_small.n]
+    fwd = make_sharded_forward(m.kinds, mesh8)
+    out = np.asarray(fwd(m.params, sg_t, ws)).reshape(-1)
+    got = out[np.asarray(sg_t.node_mask).reshape(-1)][: g_small.n]
+    np.testing.assert_allclose(got, single, atol=1e-5)
+    # the reverse direction cannot fit: big graph into small template
+    tmpl_small = partition_device_graph(dg_small, 8, aggregation=aggregation)
+    assert partition_device_graph(
+        dg_big, 8, aggregation=aggregation,
+        shape_template=tmpl_small) is None
+    # template mode mismatches are rejected, not silently mixed
+    assert partition_device_graph(
+        dg_small, 4, aggregation=aggregation, shape_template=tmpl) is None
+
+
+def test_sharded_scorer_templated_rebuild(mesh8):
+    """The scorer's drift rebuild reuses the first build's shapes on a
+    locality-preserving kernel (the road-class production case): no fresh
+    jit program is ever traced mid-peel."""
+    import bench
+
+    from gnn_mwvc_tpu.core import CoreSolver
+    from gnn_mwvc_tpu.solver.sharded_score import ShardedGnnScorer
+
+    g = bench.build_road_graph(90)
+    ws = float(g.weights.max())
+    core = CoreSolver(g.weights, g.edge_array())
+    core.reduce()
+    assert core.active_count > 500
+    sh = ShardedGnnScorer(mesh=mesh8)
+    ids, prob, _w, _d = sh.score_core(core, ws)
+    tmpl_shapes = _shape_map(sh._tmpl)
+    # shrink the kernel (select the most-confident vertices), then rebuild
+    pick = np.argsort(prob)[-int(0.2 * len(prob)):]
+    for u in ids[pick]:
+        if core.is_active(int(u)):
+            core.select_node(int(u))
+    core.reduce()
+    assert core.active_count > 0
+    assert sh._rebuild(core) is not None
+    assert sh.stats["templated_rebuilds"] == 1
+    assert _shape_map(sh._state[0]) == tmpl_shapes
+    assert not sh._dead
+
+
+def test_sharded_scorer_delta_rounds(mesh8, rnd_graph):
+    """Per-round refresh ships changed-slot deltas, not full re-uploads
+    (VERDICT r4 weak #4): after the first full upload, subsequent rounds
+    with small state churn reuse the donated buffers, and every round still
+    matches the legacy CPU scorer exactly."""
+    from gnn_mwvc_tpu.core import CoreSolver
+    from gnn_mwvc_tpu.solver.pipeline import GnnScorer
+    from gnn_mwvc_tpu.solver.sharded_score import ShardedGnnScorer
+
+    g = rnd_graph(3000, 12, seed=4, wmax=500)
+    ws = float(g.weights.max())
+    core = CoreSolver(g.weights, g.edge_array())
+    core.reduce()
+    sh = ShardedGnnScorer(mesh=mesh8)
+    legacy = GnnScorer(tpu_min_edges=1 << 62)
+    for _ in range(3):
+        ids_s, prob_s, _w, _d = sh.score_core(core, ws)
+        snap = core.snapshot()
+        order = np.argsort(ids_s)
+        np.testing.assert_array_equal(ids_s[order], snap.ids)
+        np.testing.assert_allclose(prob_s[order], legacy(snap, ws),
+                                   atol=2e-5)
+        # peel a few most-confident vertices to mutate the state (no
+        # reduce(): a cascade could touch more than k_loc slots and
+        # legitimately force a full re-upload)
+        pick = np.argsort(prob_s)[-4:]
+        for u in ids_s[pick]:
+            if core.is_active(int(u)):
+                core.select_node(int(u))
+        if core.active_count == 0:
+            break
+    assert sh.stats["full_uploads"] == 1  # only the first round
+    assert sh.stats["rounds"] >= 2
+
+
+def test_sharded_scorer_warm_overlap(mesh8, rnd_graph):
+    """warm_overlap dispatches the first mesh call off-thread.  With a
+    bounded wait of 0 the scorer serves the round from the exact CPU
+    forward (stopgap), then harvests the warmed program on a later round —
+    the CPU-mesh analog of the relay one-time-load overlap."""
+    from gnn_mwvc_tpu.core import CoreSolver
+    from gnn_mwvc_tpu.solver.pipeline import GnnScorer
+    from gnn_mwvc_tpu.solver.sharded_score import ShardedGnnScorer
+
+    g = rnd_graph(2000, 10, seed=6, wmax=500)
+    ws = float(g.weights.max())
+    core = CoreSolver(g.weights, g.edge_array())
+    core.reduce()
+    sh = ShardedGnnScorer(mesh=mesh8, warm_overlap=True, warm_wait_s=0.0)
+    legacy = GnnScorer(tpu_min_edges=1 << 62)
+    snap = core.snapshot()
+    ids1, prob1, _w, _d = sh.score_core(core, ws)  # stopgap CPU round
+    assert sh.stats.get("overlap_rounds", 0) >= 1
+    order = np.argsort(ids1)
+    np.testing.assert_allclose(prob1[order], legacy(snap, ws), atol=2e-5)
+    # wait for the warm call, then the next round takes the mesh path
+    sh._pending["thread"].join(60.0)
+    ids2, prob2, _w, _d = sh.score_core(core, ws)
+    assert sh._warmed and sh._pending is None
+    order = np.argsort(ids2)
+    np.testing.assert_allclose(prob2[order], legacy(snap, ws), atol=2e-5)
