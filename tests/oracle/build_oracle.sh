@@ -64,4 +64,16 @@ if [ ! -x "$OUT/HILS" ] || [ "$1" = "-f" ]; then
     || echo "HILS build skipped"
 fi
 
+# fastWVC_tuned (old_files legacy app; differential gate for the
+# mwvc-baseline fastwvc-tuned subcommand).  bitref_swap_shim.h restores
+# the qualified std::swap(vector<bool>::reference, ...) the old code
+# relies on (hidden friend in modern libstdc++).
+if [ ! -x "$OUT/fastWVC_tuned" ] || [ "$1" = "-f" ]; then
+  g++ -std=c++17 -O2 -march=native -DNDEBUG \
+    -include "$HERE/bitref_swap_shim.h" -include tuple \
+    -I"$REF/old_files/include/mwvc" \
+    -o "$OUT/fastWVC_tuned" "$REF/old_files/src/apps/fastWVC_tuned.cpp" \
+    || echo "fastWVC_tuned build skipped"
+fi
+
 echo "$OUT"

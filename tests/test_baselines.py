@@ -132,6 +132,48 @@ def test_baseline_road_differential(which, oracle_dir, road90):
     assert cost <= ref_cost * 1.005, (which, cost, ref_cost)
 
 
+def test_fastwvc_tuned_road_differential(oracle_dir, road90, tmp_path,
+                                         capsys):
+    """fastwvc-tuned gated against its reference binary (ADVICE r4 #4):
+    equal-cutoff road90, same 0.5% noise margin as the other four
+    baselines.  The oracle reads `E N`, N weights, E 1-indexed edges on
+    stdin and prints `best_cost,t_best`
+    (reference: old_files/src/apps/fastWVC_tuned.cpp:17-35,88)."""
+    import os
+    import subprocess
+
+    from gnn_mwvc_tpu.solver.baselines.cli import main as bl_main
+
+    exe = os.path.join(oracle_dir, "fastWVC_tuned")
+    if not os.path.exists(exe):  # stale oracle dir from an older build
+        script = os.path.join(os.path.dirname(__file__), "oracle",
+                              "build_oracle.sh")
+        subprocess.run(["bash", script], check=True, capture_output=True,
+                       timeout=900)
+    path, g = road90
+    cutoff = 3.0
+    e = g.edge_array()
+    lines = [f"{len(e)} {g.n}"]
+    lines.append(" ".join(map(str, g.weights.tolist())))
+    lines.extend(f"{u + 1} {v + 1}" for u, v in e.tolist())
+    out = subprocess.run([exe, str(cutoff)], input="\n".join(lines),
+                         capture_output=True, text=True, timeout=60)
+    ref_cost = int(out.stdout.strip().splitlines()[-1].split(",")[0])
+    assert ref_cost > 0
+
+    sol = str(tmp_path / "fwt.sol")
+    rc = bl_main(["fastwvc-tuned", path, "1", str(int(cutoff)),
+                  "--out", sol])
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    cost = int(line.split(",")[1])
+    vc = __import__("gnn_mwvc_tpu.graphio", fromlist=["read_solution"]
+                    ).read_solution(sol)
+    assert is_vertex_cover(g, vc)
+    assert cover_cost(g, vc) == cost
+    assert cost <= ref_cost * 1.005, (cost, ref_cost)
+
+
 def test_fastwvc_tuned_cli(tmp_path, capsys):
     """fastwvc-tuned subcommand (round 4, closes the last reference app
     gap — old_files/src/apps/fastWVC_tuned.cpp): greedy construction +

@@ -226,6 +226,51 @@ def test_worker_outage_fallback_cpu_batches(monkeypatch):
         assist.stop()
 
 
+def test_worker_width_race_routes_to_cpu(monkeypatch):
+    """A width-16 job that races the 'warmed' notice (parent still
+    extracting clamped while the worker is already hot at width 20) must
+    run on the CPU enumeration kernel, NOT mint a fresh (B, 16) device
+    program (ADVICE r4 #1).  Driven in-process against _worker_main with
+    plain queues so the race is deterministic."""
+    import queue as _q
+    import threading
+    import time
+
+    monkeypatch.setenv("GNN_MWVC_ASSIST_TEST_CPU", "1")
+    monkeypatch.setenv("GNN_MWVC_ASSIST_FAKE_WARM", "0.8")
+
+    from gnn_mwvc_tpu.solver.device_assist import _worker_main
+
+    jobs, results = _q.Queue(), _q.Queue()
+    th = threading.Thread(
+        target=_worker_main, args=(jobs, results, "tpu", 8, 20),
+        daemon=True)
+    th.start()
+
+    def next_res(timeout=120):
+        while True:
+            msg = results.get(timeout=timeout)
+            if msg[0] == "res":
+                return msg
+            if msg[0] == "err":
+                raise AssertionError(msg[1])
+
+    # pre-warm width-16 job: CPU path by definition
+    jobs.put((np.zeros((8, 16), np.int32), np.zeros((8, 16), np.int32)))
+    assert next_res()[4] == "cpu"
+    time.sleep(1.2)  # fake warm (0.8 s) lands; worker is now hot
+    # the RACE: a width-16 job arrives while the worker is hot at width 20
+    # -> must still route to the CPU kernel (width != warmed shape)
+    jobs.put((np.zeros((8, 16), np.int32), np.zeros((8, 16), np.int32)))
+    assert next_res()[4] == "cpu"
+    # a width-20 job takes the (fake-)device path at the warmed shape
+    jobs.put((np.zeros((8, 20), np.int32), np.zeros((8, 20), np.int32)))
+    assert next_res()[4] == "device"
+    jobs.put(None)
+    th.join(30)
+    assert not th.is_alive()
+
+
 def test_worker_rmax_clamped_when_accelerator_absent(monkeypatch):
     """rmax>16 with device='tpu' in a CPU-only environment must clamp to
     the width-16 enumeration path instead of interpret-mode pallas
