@@ -76,7 +76,7 @@ def test_probe_threshold(monkeypatch, iters, healthy):
 
 
 def test_gate_refuses_sick_window(monkeypatch):
-    monkeypatch.setattr(relay_probe, "run_probe", lambda: {
+    monkeypatch.setattr(relay_probe, "run_probe", lambda **k: {
         "relay_healthy": False, "probe_ms": 400.0, "probe_load_s": 200.0,
         "probe_note": "sick"})
     with pytest.raises(SystemExit, match="relay unhealthy"):
@@ -87,7 +87,7 @@ def test_gate_refuses_sick_window(monkeypatch):
 
 
 def test_gate_skip_records_unprobed(monkeypatch):
-    def boom():
+    def boom(**k):
         raise AssertionError("probe must not run with skip=True")
 
     monkeypatch.setattr(relay_probe, "run_probe", boom)

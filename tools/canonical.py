@@ -39,10 +39,14 @@ def main(argv=None):
                          "(tools/relay_probe.py); refuses a sick window")
     ap.add_argument("--force", action="store_true",
                     help="proceed even if the relay probe is unhealthy")
+    ap.add_argument("--probe-ms-max", type=float, default=None,
+                    help="stricter probe threshold (ms) for instances "
+                         "whose phase 1 is relay-throughput-bound")
     args = ap.parse_args(argv)
 
-    from tools.relay_probe import gate
-    probe = gate(force=args.force, skip=not args.probe)
+    from tools.relay_probe import ITER_MS_MAX, gate
+    probe = gate(force=args.force, skip=not args.probe,
+                 iter_ms_max=args.probe_ms_max or ITER_MS_MAX)
 
     from bench import build_road_graph
     from gnn_mwvc_tpu.graphio import cover_cost, is_vertex_cover

@@ -104,14 +104,19 @@ def run_probe(timeout_s: float = LOAD_TIMEOUT_S,
                           f"probe wall {wall:.0f}s"}
 
 
-def gate(force: bool = False, skip: bool = False) -> dict:
+def gate(force: bool = False, skip: bool = False,
+         iter_ms_max: float = ITER_MS_MAX) -> dict:
     """Probe and refuse to proceed in a sick window (unless force).
 
-    skip=True records an explicit unprobed stamp (CPU-only tests)."""
+    skip=True records an explicit unprobed stamp (CPU-only tests).
+    iter_ms_max: stricter thresholds for runs whose outcome is dominated
+    by relay execution throughput — road1600's phase 1 measured 485 s at
+    a 66 ms probe vs ~270 s in the 32-54 ms healthy band, which is the
+    difference between a win and a +0.003% loss at the 1000 s cutoff."""
     if skip:
         return {"relay_healthy": None, "probe_ms": None, "probe_load_s": None,
                 "probe_note": "probe skipped (--no-probe)"}
-    rec = run_probe()
+    rec = run_probe(iter_ms_max=iter_ms_max)
     print(f"relay probe: {rec['probe_note']}", flush=True)
     if not rec["relay_healthy"] and not force:
         raise SystemExit(
