@@ -35,7 +35,7 @@ def _build() -> str:
     hdrs = [
         os.path.join(_SRC, h)
         for h in ("revgraph.hpp", "solver.hpp", "localsearch.hpp",
-                  "heuristics.hpp", "baselines.hpp")
+                  "heuristics.hpp", "baselines.hpp", "cpuforward.hpp")
     ]
     if os.path.exists(_LIB):
         lib_mtime = os.path.getmtime(_LIB)
@@ -149,6 +149,9 @@ def _load():
                 "mwvc_ls_commit_patches": ([c], ct.c_int),
                 "mwvc_ls_get_dscores": ([c, u32p], None),
                 "mwvc_ls_rebuild_scores": ([c], None),
+                "mwvc_cpu_forward": ([ct.c_uint32, u64p, u32p, u32p, u64p,
+                                      u32p, ct.c_float, ct.c_uint32, i8p,
+                                      i32p, f32p, f32p, ct.c_uint32], None),
             }
             for name, (argtypes, restype) in sigs.items():
                 fn = getattr(lib, name)
@@ -521,6 +524,53 @@ def baseline_solve(which, weights, edges, seed=1, cutoff=10.0, cc_mode=3,
         cc_mode, vc, _ct.byref(tbest),
     )
     return int(cost), vc, float(tbest.value)
+
+
+_KIND_CODES = {"graph": 0, "linear": 1, "relu": 2, "sigmoid": 3}
+_packed_params_cache = {}
+
+
+def _pack_model(model):
+    """(kinds i8, dims i32, params f32) blobs for mwvc_cpu_forward; cached
+    per model object (params are fixed during solving)."""
+    key = id(model)
+    hit = _packed_params_cache.get(key)
+    if hit is not None:
+        return hit
+    kinds = np.array([_KIND_CODES[k] for k in model.kinds], np.int8)
+    dims, blobs = [], []
+    for k, p in zip(model.kinds, model.params):
+        if k == "linear":
+            wm = np.ascontiguousarray(np.asarray(p["w"], np.float32))
+            bm = np.ascontiguousarray(np.asarray(p["b"], np.float32))
+            dims.extend(wm.shape)
+            blobs.extend([wm.ravel(), bm.ravel()])
+    packed = (kinds, np.array(dims, np.int32),
+              np.concatenate(blobs).astype(np.float32))
+    _packed_params_cache[key] = packed
+    return packed
+
+
+def cpu_forward_native(snap, model, weight_scale, n_threads=2):
+    """Native threaded CPU forward over a kernel snapshot (capi.cpp
+    mwvc_cpu_forward / cpuforward.hpp): models/gnn.py semantics with
+    compat=True + x_is_node_weights=True, zero per-round build cost —
+    used by the warm-overlap / relay-bail stopgap rounds."""
+    lib = _load()
+    n = int(snap.n)
+    out = np.empty(max(n, 1), np.float32)
+    if n == 0:
+        return out[:0]
+    kinds, dims, params = _pack_model(model)
+    lib.mwvc_cpu_forward(
+        n, np.ascontiguousarray(snap.indptr, np.uint64),
+        np.ascontiguousarray(snap.indices, np.uint32),
+        np.ascontiguousarray(snap.weights, np.uint32),
+        np.ascontiguousarray(snap.nw, np.uint64),
+        np.ascontiguousarray(snap.deg, np.uint32),
+        float(weight_scale), len(kinds), kinds, dims, params, out,
+        int(n_threads))
+    return out[:n]
 
 
 def confidence_order_native(prob, weights, deg, eps):

@@ -1,6 +1,7 @@
 // C API over the MWVC host core (solver + local search), consumed from
 // Python via ctypes (gnn_mwvc_tpu/core/api.py).
 #include "baselines.hpp"
+#include "cpuforward.hpp"
 #include "heuristics.hpp"
 #include "localsearch.hpp"
 #include "solver.hpp"
@@ -8,6 +9,16 @@
 using namespace mwvc;
 
 extern "C" {
+
+// ---- native CPU GNN forward (cpuforward.hpp) ------------------------------
+void mwvc_cpu_forward(u32 n, const u64 *indptr, const u32 *indices,
+                      const u32 *wts, const u64 *nw, const u32 *deg,
+                      float ws, u32 n_layers, const int8_t *kinds,
+                      const int32_t *dims, const float *params, float *out,
+                      u32 n_threads) {
+    cpu_forward(n, indptr, indices, wts, nw, deg, ws, n_layers, kinds,
+                dims, params, out, n_threads);
+}
 
 // ---- solver ---------------------------------------------------------------
 void *mwvc_create(u32 n, const u32 *weights, u64 m, const u32 *eu,

@@ -62,9 +62,18 @@ class GnnScorer:
     """Scores kernel snapshots, routing to TPU or CPU by size."""
 
     def __init__(self, model: Optional[Model] = None, tpu_min_edges=4_000_000,
-                 compat=True):
+                 compat=True, native=False):
+        """native=True routes CPU-sized snapshots through the threaded C++
+        forward (core cpu_forward_native): zero per-round DeviceGraph/plan
+        build and no XLA-CPU recompiles across shape buckets — measured
+        5.5x the jax-CPU legacy round cost on a road300 kernel.  Off by
+        default because its fp rounding differs from the jax forward by
+        ~1e-6, which matters to exact cover-identity comparisons (the
+        sticky/sharded scorers enable it for their own stopgap rounds;
+        requires compat=True semantics)."""
         self.model = model or load_pretrained()
         self.tpu_min_edges = tpu_min_edges
+        self.native = bool(native) and compat
         self._cpu_dev, self._tpu_dev = pick_devices()
         self._fn_accel = make_scorer(self.model, compat=compat)
         self._fn_cpu = make_scorer(self.model, compat=compat)
@@ -77,6 +86,13 @@ class GnnScorer:
         use_tpu = (
             self._tpu_dev is not None and e >= self.tpu_min_edges
         )
+        if not use_tpu and self.native and snap.n:
+            try:
+                from gnn_mwvc_tpu.core import cpu_forward_native
+
+                return cpu_forward_native(snap, self.model, weight_scale)
+            except ImportError:  # no native core: jax-CPU fallback below
+                pass
         dg = DeviceGraph.build(
             snap.weights,
             snap.indptr.astype(np.int64),

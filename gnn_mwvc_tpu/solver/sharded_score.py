@@ -278,7 +278,12 @@ class ShardedGnnScorer(RelayPolicyMixin):
         from gnn_mwvc_tpu.solver.pipeline import GnnScorer
 
         if self._legacy is None:
-            self._legacy = GnnScorer(self.model, tpu_min_edges=1 << 62)
+            # native on accelerator meshes (stopgap/tail rounds feed only
+            # this scorer's own peel); jax-CPU on CPU meshes, where exact
+            # cover identity vs the mesh forward is part of the test
+            # contract (tools/sharded_solve.py)
+            self._legacy = GnnScorer(self.model, tpu_min_edges=1 << 62,
+                                     native=self._accel)
         snap = core.snapshot()
         t0 = time.perf_counter()
         prob = self._legacy(snap, weight_scale)

@@ -335,15 +335,18 @@ class StickyGnnScorer(RelayPolicyMixin):
 
         if force_cpu:
             # warm-overlap fallback: the accelerator is busy loading the
-            # sticky program — never route the stopgap round to it
+            # sticky program — never route the stopgap round to it.
+            # native=True: the threaded C++ forward, no per-round build
             if self._cpu_fallback is None:
                 self._cpu_fallback = GnnScorer(self.model,
-                                               tpu_min_edges=1 << 62)
+                                               tpu_min_edges=1 << 62,
+                                               native=True)
             scorer = self._cpu_fallback
         else:
             if self._legacy is None:
                 self._legacy = GnnScorer(self.model,
-                                         tpu_min_edges=self.tpu_min_edges)
+                                         tpu_min_edges=self.tpu_min_edges,
+                                         native=True)
             scorer = self._legacy
         snap = core.snapshot()
         t0 = time.perf_counter()

@@ -155,3 +155,38 @@ def test_init_params_shapes():
     lim = 1.0 / np.sqrt(5 + 1)
     first = [p for p in params if p is not None][0]
     assert np.abs(np.asarray(first["w"])).max() <= lim
+
+
+def test_native_cpu_forward_parity(rnd_graph):
+    """The threaded C++ forward (core cpu_forward_native, used by the
+    warm-overlap / relay-bail stopgap rounds) matches the jax forward on a
+    reduced kernel snapshot within fp noise, across thread counts."""
+    import bench
+    from gnn_mwvc_tpu.core import CoreSolver, cpu_forward_native
+
+    m = load_pretrained()
+    g = bench.build_road_graph(60)
+    ws = float(g.weights.max())
+    core = CoreSolver(g.weights, g.edge_array())
+    core.reduce()
+    snap = core.snapshot()
+    assert snap.n > 200
+    dg = DeviceGraph.build(snap.weights, snap.indptr.astype(np.int64),
+                           snap.indices.astype(np.int64), with_ell=False,
+                           aggregation="scatter")
+    ref = np.asarray(score_graph(m, dg, ws))[: snap.n]
+    for nt in (1, 2):
+        native = cpu_forward_native(snap, m, ws, n_threads=nt)
+        np.testing.assert_allclose(native, ref, atol=2e-6)
+
+
+def test_native_cpu_forward_empty():
+    from gnn_mwvc_tpu.core import CoreSolver, cpu_forward_native
+
+    m = load_pretrained()
+    w = np.array([5, 3], np.uint32)
+    core = CoreSolver(w, np.array([[0, 1]], np.int64))
+    core.reduce()  # tiny instance fully reduces
+    snap = core.snapshot()
+    out = cpu_forward_native(snap, m, 5.0)
+    assert out.shape == (snap.n,)
