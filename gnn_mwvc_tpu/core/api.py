@@ -152,6 +152,12 @@ def _load():
                 "mwvc_cpu_forward": ([ct.c_uint32, u64p, u32p, u32p, u64p,
                                       u32p, ct.c_float, ct.c_uint32, i8p,
                                       i32p, f32p, f32p, ct.c_uint32], None),
+                "mwvc_sticky_deltas": ([c, ct.c_uint32, u32p, u64p, u64p,
+                                        u32p, u8p, i32p, f32p, f32p, f32p,
+                                        u8p, ct.c_uint32], ct.c_uint32),
+                "mwvc_live_edges": ([c], ct.c_uint64),
+                "mwvc_node_range": ([c, ct.c_uint32, ct.c_uint32, u8p,
+                                     u64p, u32p], None),
             }
             for name, (argtypes, restype) in sigs.items():
                 fn = getattr(lib, name)
@@ -282,6 +288,33 @@ class CoreSolver:
         begin_bulk_pass)."""
         ids = np.ascontiguousarray(ids, dtype=np.uint32)
         return int(self._lib.mwvc_bulk_r5(self._h, ids, len(ids)))
+
+    def sticky_deltas(self, ids, prev_w, prev_nw, prev_deg, prev_act,
+                      out_idx, out_vw, out_vnw, out_vdeg, out_vm):
+        """One-pass live-state delta refresh for sticky scoring (capi.cpp
+        mwvc_sticky_deltas): updates the raw prev arrays IN PLACE and
+        emits up to len(out_idx) changed rows as f32 device deltas.
+        Returns the total changed count (> len(out_idx) means the caller
+        should full-upload from the updated prev arrays)."""
+        return int(self._lib.mwvc_sticky_deltas(
+            self._h, len(ids), ids, prev_w, prev_nw, prev_deg, prev_act,
+            out_idx, out_vw, out_vnw, out_vdeg, out_vm, len(out_idx)))
+
+    def live_edges(self) -> int:
+        """Directed live-edge count (sum of active degrees); O(n), no
+        array copies — the scorers' size-routing input."""
+        return int(self._lib.mwvc_live_edges(self._h))
+
+    def node_range(self, lo: int, hi: int):
+        """Live (active, w, deg) over ids [lo, hi) — the fold-gadget tail
+        created after a sticky build; O(hi - lo)."""
+        k = max(hi - lo, 0)
+        act = np.empty(k, np.uint8)
+        w = np.empty(k, np.uint64)
+        deg = np.empty(k, np.uint32)
+        if k:
+            self._lib.mwvc_node_range(self._h, lo, hi, act, w, deg)
+        return act, w, deg
 
     def node_arrays(self):
         """Live (active, w, nw, deg) over the full node-id space [0, size).

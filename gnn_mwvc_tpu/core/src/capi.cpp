@@ -169,6 +169,70 @@ void mwvc_node_arrays(void *h, uint8_t *active, u64 *w, u64 *nw, u32 *deg) {
     }
 }
 
+// Directed live-edge count (sum of active degrees): the size-routing
+// input for the sticky/sharded scorers, without copying node arrays out.
+u64 mwvc_live_edges(void *h) {
+    auto *s = (Solver *)h;
+    const u32 n = s->g.size();
+    u64 e = 0;
+    for (u32 u = 0; u < n; ++u)
+        if (s->g.active[u])
+            e += s->g.deg[u];
+    return e;
+}
+
+// Live (active, w, deg) over an id range [lo, hi) — the gadget-node tail
+// created by folds after a sticky build; O(hi - lo).
+void mwvc_node_range(void *h, u32 lo, u32 hi, uint8_t *act, u64 *w,
+                     u32 *deg) {
+    auto *s = (Solver *)h;
+    for (u32 u = lo; u < hi; ++u) {
+        act[u - lo] = s->g.active[u] ? 1 : 0;
+        w[u - lo] = (u64)s->g.w[u];
+        deg[u - lo] = s->g.deg[u];
+    }
+}
+
+// One-pass delta refresh for sticky scoring (solver/static_score.py,
+// solver/sharded_score.py): for each static-build row r (live node id
+// ids[r]) compare the live (w, nw, deg, active) against the caller's raw
+// previous copies, update those in place, and emit changed rows into the
+// fixed-capacity device-delta buffers as the f32 values the forward
+// consumes.  Returns the TOTAL changed count — when it exceeds max_out
+// the caller full-uploads from the (fully updated) prev arrays instead.
+// Replaces a ~10-pass numpy gather/compare chain (~1 s/round at road1600
+// scale, r5a record: seconds_prep 48 s over 50 rounds).
+u32 mwvc_sticky_deltas(void *h, u32 k, const u32 *ids, u64 *prev_w,
+                       u64 *prev_nw, u32 *prev_deg, uint8_t *prev_act,
+                       int32_t *out_idx, float *out_vw, float *out_vnw,
+                       float *out_vdeg, uint8_t *out_vm, u32 max_out) {
+    auto *s = (Solver *)h;
+    u32 cnt = 0;
+    for (u32 r = 0; r < k; ++r) {
+        const u32 u = ids[r];
+        const u64 wv = (u64)s->g.w[u];
+        const u64 nwv = (u64)s->g.nw[u];
+        const u32 dv = s->g.deg[u];
+        const uint8_t av = s->g.active[u] ? 1 : 0;
+        if (wv != prev_w[r] || nwv != prev_nw[r] || dv != prev_deg[r] ||
+            av != prev_act[r]) {
+            if (cnt < max_out) {
+                out_idx[cnt] = (int32_t)r;
+                out_vw[cnt] = (float)wv;
+                out_vnw[cnt] = (float)nwv;
+                out_vdeg[cnt] = (float)dv;
+                out_vm[cnt] = av;
+            }
+            prev_w[r] = wv;
+            prev_nw[r] = nwv;
+            prev_deg[r] = dv;
+            prev_act[r] = av;
+            ++cnt;
+        }
+    }
+    return cnt;
+}
+
 // Bulk-apply rule-5 (neighborhood meta-reduction) verdicts from the device
 // batched exact solver (ops/rules.py r5_candidates).  The device proved
 // W(u) >= NW(u) - VC(N(u)) on the snapshot instance; that proof transfers to

@@ -257,6 +257,8 @@ class ShardedGnnScorer(RelayPolicyMixin):
         self._state = (sg, snap.ids, core.n_nodes, snap.n,
                        self.parts * sg.n_loc)
         self._slots = slots
+        self._rof = np.full(self.parts * sg.n_loc, -1, np.int64)
+        self._rof[slots] = np.arange(len(snap.ids), dtype=np.int64)
         # fixed delta capacity per shard (part of the program shape):
         # per-round label churn is ~N/20; n_loc/16 slots leave headroom
         self._k_loc = max(256, sg.n_loc // 16)
@@ -322,39 +324,47 @@ class ShardedGnnScorer(RelayPolicyMixin):
                 return self._score_legacy(core, weight_scale)
             t0 = time.perf_counter()
         sg, ids, built_size, _ba, n_slots = self._state
-        active, w, nw, deg = core.node_arrays()
         n_loc, parts = sg.n_loc, self.parts
         slots = self._slots
         k = len(ids)
-
-        # refresh per-node arrays from the live core state into SLOT space
-        # (slot i -> shard i // n_loc, local row i % n_loc)
-        act_r = active[ids].astype(bool)
-        w_s = np.zeros(n_slots, np.float32)
-        w_s[slots] = w[ids]
-        nw_s = np.zeros(n_slots, np.float32)
-        nw_s[slots] = nw[ids]
-        deg_s = np.zeros(n_slots, np.float32)
-        deg_s[slots] = deg[ids]
-        act_s = np.zeros(n_slots, bool)
-        act_s[slots] = act_r
         k_loc = self._k_loc
 
-        changed = np.zeros(0, np.int64)
-        pshard = changed
-        counts = np.zeros(parts, np.int64)
-        full_upload = self._bufs is None or self._prev is None
+        # one-pass native delta refresh against our raw row copies
+        # (capi mwvc_sticky_deltas; updated in place); rows map to slots
+        # via the slot-stable assignment
+        fresh = self._prev is None
+        if fresh:
+            self._prev = (np.zeros(k, np.uint64), np.zeros(k, np.uint64),
+                          np.zeros(k, np.uint32), np.zeros(k, np.uint8))
+        cap = parts * k_loc
+        ridx = np.zeros(cap, np.int32)
+        rvw = np.zeros(cap, np.float32)
+        rvnw = np.zeros(cap, np.float32)
+        rvdeg = np.zeros(cap, np.float32)
+        rvm = np.zeros(cap, np.uint8)
+        cnt = core.sticky_deltas(ids, *self._prev, ridx, rvw, rvnw, rvdeg,
+                                 rvm)
+        w_r, nw_r, deg_r, act8 = self._prev
+        act_r = act8.view(bool)
+
+        full_upload = fresh or self._bufs is None or cnt > cap
+        ch_slots = pshard = counts = None
         if not full_upload:
-            changed = np.nonzero(
-                (w_s != self._prev[0]) | (nw_s != self._prev[1])
-                | (deg_s != self._prev[2]) | (act_s != self._prev[3]))[0]
-            pshard = changed // n_loc
+            ch_slots = slots[ridx[:cnt]]
+            pshard = ch_slots // n_loc
             counts = np.bincount(pshard, minlength=parts)
             if len(counts) and counts.max() > k_loc:
                 full_upload = True
-                changed = np.zeros(0, np.int64)
-                pshard = changed
         if full_upload:
+            # slot-space scatter of the (updated) raw rows, O(k)
+            w_s = np.zeros(n_slots, np.float32)
+            w_s[slots] = w_r
+            nw_s = np.zeros(n_slots, np.float32)
+            nw_s[slots] = nw_r
+            deg_s = np.zeros(n_slots, np.float32)
+            deg_s[slots] = deg_r
+            act_s = np.zeros(n_slots, bool)
+            act_s[slots] = act_r
             shard = NamedSharding(self.mesh, P("graph", None))
             self._bufs = tuple(
                 jax.device_put(a, shard) for a in (
@@ -364,33 +374,37 @@ class ShardedGnnScorer(RelayPolicyMixin):
                     act_s.reshape(parts, n_loc)))
             self.stats["full_uploads"] = (
                 self.stats.get("full_uploads", 0) + 1)
+            cnt = 0
 
         # (P, k_loc) delta arrays; padding slots repeat the CURRENT value
         # of each shard's local slot 0 (identical-duplicate writes are
         # well-defined; a real row-0 update carries the same new value)
-        r0 = np.arange(parts) * n_loc
+        rr = self._rof[np.arange(parts) * n_loc]  # row at slot p*n_loc
+        has = rr >= 0
+        rr_safe = np.maximum(rr, 0)
         idx = np.zeros((parts, k_loc), np.int32)
         vw = np.empty((parts, k_loc), np.float32)
-        vw[:] = w_s[r0][:, None]
+        vw[:] = np.where(has, w_r[rr_safe].astype(np.float32), 0.0)[:, None]
         vnw = np.empty((parts, k_loc), np.float32)
-        vnw[:] = nw_s[r0][:, None]
+        vnw[:] = np.where(has, nw_r[rr_safe].astype(np.float32),
+                          0.0)[:, None]
         vdeg = np.empty((parts, k_loc), np.float32)
-        vdeg[:] = deg_s[r0][:, None]
+        vdeg[:] = np.where(has, deg_r[rr_safe].astype(np.float32),
+                           0.0)[:, None]
         vm = np.empty((parts, k_loc), bool)
-        vm[:] = act_s[r0][:, None]
-        if len(changed):
+        vm[:] = np.where(has, act_r[rr_safe], False)[:, None]
+        if cnt:
             order = np.argsort(pshard, kind="stable")
             pc = pshard[order]
-            gidx = changed[order]
+            sl = ch_slots[order]
             starts = np.zeros(parts + 1, np.int64)
             np.cumsum(counts, out=starts[1:])
-            j = np.arange(len(changed)) - starts[pc]
-            idx[pc, j] = (gidx % n_loc).astype(np.int32)
-            vw[pc, j] = w_s[gidx]
-            vnw[pc, j] = nw_s[gidx]
-            vdeg[pc, j] = deg_s[gidx]
-            vm[pc, j] = act_s[gidx]
-        self._prev = (w_s, nw_s, deg_s, act_s)
+            j = np.arange(cnt) - starts[pc]
+            idx[pc, j] = (sl % n_loc).astype(np.int32)
+            vw[pc, j] = rvw[:cnt][order]
+            vnw[pc, j] = rvnw[:cnt][order]
+            vdeg[pc, j] = rvdeg[:cnt][order]
+            vm[pc, j] = rvm[:cnt][order].astype(bool)
         self.stats["seconds_prep"] += time.perf_counter() - t0
 
         args = (self.model.params, sg, self._bufs,
@@ -418,22 +432,23 @@ class ShardedGnnScorer(RelayPolicyMixin):
             if self._accel:
                 self._note_device_round(
                     time.perf_counter() - t_dev0,
-                    int(deg[ids][act_r].sum()))
+                    int(deg_r[act_r].sum()))
 
         rows = np.nonzero(act_r)[0]
         out_ids = ids[rows]
         out_prob = prob[slots[rows]].astype(np.float32)
-        out_w = w[ids][rows]
-        out_deg = deg[ids][rows]
+        out_w = w_r[rows]
+        out_deg = deg_r[rows]
         # gadget nodes created by folds after the build: neutral scores
         if core.n_nodes > built_size:
-            gad = np.arange(built_size, core.n_nodes, dtype=np.uint32)
-            gad = gad[active[built_size:].astype(bool)]
-            if len(gad):
+            act_g, w_g, deg_g = core.node_range(built_size, core.n_nodes)
+            rows_g = np.nonzero(act_g)[0]
+            if len(rows_g):
+                gad = (built_size + rows_g).astype(np.uint32)
                 out_ids = np.concatenate([out_ids, gad])
                 out_prob = np.concatenate(
                     [out_prob, np.full(len(gad), 0.5, np.float32)])
-                out_w = np.concatenate([out_w, w[gad]])
-                out_deg = np.concatenate([out_deg, deg[gad]])
+                out_w = np.concatenate([out_w, w_g[rows_g]])
+                out_deg = np.concatenate([out_deg, deg_g[rows_g]])
         self.stats["rounds"] += 1
         return out_ids, out_prob, out_w, out_deg

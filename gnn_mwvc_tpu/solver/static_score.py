@@ -362,9 +362,8 @@ class StickyGnnScorer(RelayPolicyMixin):
         import jax
 
         t0 = time.perf_counter()
-        active, w, nw, deg = core.node_arrays()
         if not self.force_sticky:
-            e_live = int(deg[active.astype(bool)].sum())
+            e_live = core.live_edges()
             if self._tpu_dev is None or e_live < self.tpu_min_edges:
                 self._state = None  # kernel shrank below the sticky regime
                 return self._score_legacy(core, weight_scale)
@@ -390,55 +389,50 @@ class StickyGnnScorer(RelayPolicyMixin):
             self._rebuild(core)  # accounts its own prep time
             t0 = time.perf_counter()
         dg, ids, built_size, _ba, dev = self._state
-        # rows of the static graph, refreshed from live state
-        act_r = active[ids].astype(bool)
-        w_r = w[ids]
-        nw_r = nw[ids]
-        deg_r = deg[ids]
         n_pad = dg.n_pad
+        k = len(ids)
         sink = np.int32(n_pad - 1)  # padding row: dead by construction
         # per-round label churn is ~N/20 (the relabel trigger); n_pad/16
         # slots leave headroom while keeping the upload small
         k_slots = max(4096, n_pad // 16)
 
-        if self._prev is not None:
-            changed = np.nonzero(
-                (w_r != self._prev[0]) | (nw_r != self._prev[1])
-                | (deg_r != self._prev[2]) | (act_r != self._prev[3])
-            )[0]
-        else:
-            changed = None
-        if changed is None or len(changed) > k_slots or self._bufs is None:
-            # full (re)upload: fresh buffers, then a no-op delta call
-            wts = np.zeros(n_pad, np.float32)
-            wts[: len(ids)] = w_r
-            nws = np.zeros(n_pad, np.float32)
-            nws[: len(ids)] = nw_r
-            degs = np.zeros(n_pad, np.float32)
-            degs[: len(ids)] = deg_r
-            mask = np.zeros(n_pad, bool)
-            mask[: len(ids)] = act_r
-            self._bufs = tuple(
-                jax.device_put(a, dev) for a in (wts, nws, degs, mask)
-            )
-            changed = np.zeros(0, np.int64)
+        # one-pass native delta refresh: the core compares its live state
+        # against our raw copies (updated in place) and emits the changed
+        # rows as the f32 device deltas directly (capi mwvc_sticky_deltas)
+        fresh = self._prev is None
+        if fresh:
+            self._prev = (np.zeros(k, np.uint64), np.zeros(k, np.uint64),
+                          np.zeros(k, np.uint32), np.zeros(k, np.uint8))
         idx = np.full(k_slots, sink, np.int32)
         vw = np.zeros(k_slots, np.float32)
         vnw = np.zeros(k_slots, np.float32)
         vdeg = np.zeros(k_slots, np.float32)
-        vm = np.zeros(k_slots, bool)
-        nc = len(changed)
-        if nc:
-            idx[:nc] = changed
-            vw[:nc] = w_r[changed]
-            vnw[:nc] = nw_r[changed]
-            vdeg[:nc] = deg_r[changed]
-            vm[:nc] = act_r[changed]
-        self._prev = (w_r, nw_r, deg_r, act_r)
+        vm = np.zeros(k_slots, np.uint8)
+        cnt = core.sticky_deltas(ids, *self._prev, idx, vw, vnw, vdeg, vm)
+        w_r, nw_r, deg_r, act8 = self._prev
+        act_r = act8.view(bool)
+        if fresh or cnt > k_slots or self._bufs is None:
+            # full (re)upload: fresh buffers, then a no-op delta call
+            wts = np.zeros(n_pad, np.float32)
+            wts[:k] = w_r
+            nws = np.zeros(n_pad, np.float32)
+            nws[:k] = nw_r
+            degs = np.zeros(n_pad, np.float32)
+            degs[:k] = deg_r
+            mask = np.zeros(n_pad, bool)
+            mask[:k] = act_r
+            self._bufs = tuple(
+                jax.device_put(a, dev) for a in (wts, nws, degs, mask)
+            )
+            idx[:] = sink
+            vw[:] = 0.0
+            vnw[:] = 0.0
+            vdeg[:] = 0.0
+            vm[:] = 0
         self.stats["seconds_prep"] += time.perf_counter() - t0
 
-        args = (self.model.params, *self._bufs, idx, vw, vnw, vdeg, vm, dg,
-                np.float32(weight_scale))
+        args = (self.model.params, *self._bufs, idx, vw, vnw, vdeg,
+                vm.view(bool), dg, np.float32(weight_scale))
         if self.warm_overlap and not self._warmed:
             # first device call of the process: pays the one-time program
             # compile/load through the relay — dispatch it off-thread (it
@@ -475,14 +469,15 @@ class StickyGnnScorer(RelayPolicyMixin):
         # gadget nodes created by folds after the build: neutral scores
         # (min(p, 1-p) = 0.5 sorts least-confident -> decided last)
         if core.n_nodes > built_size:
-            gad = np.arange(built_size, core.n_nodes, dtype=np.uint32)
-            gad = gad[active[built_size:].astype(bool)]
-            if len(gad):
+            act_g, w_g, deg_g = core.node_range(built_size, core.n_nodes)
+            rows_g = np.nonzero(act_g)[0]
+            if len(rows_g):
+                gad = (built_size + rows_g).astype(np.uint32)
                 out_ids = np.concatenate([out_ids, gad])
                 out_prob = np.concatenate(
                     [out_prob, np.full(len(gad), 0.5, np.float32)]
                 )
-                out_w = np.concatenate([out_w, w[gad]])
-                out_deg = np.concatenate([out_deg, deg[gad]])
+                out_w = np.concatenate([out_w, w_g[rows_g]])
+                out_deg = np.concatenate([out_deg, deg_g[rows_g]])
         self.stats["rounds"] += 1
         return out_ids, out_prob, out_w, out_deg
