@@ -395,3 +395,41 @@ def test_sharded_scorer_warm_overlap(mesh8, rnd_graph):
     assert sh._warmed and sh._pending is None
     order = np.argsort(ids2)
     np.testing.assert_allclose(prob2[order], legacy(snap, ws), atol=2e-5)
+
+
+def test_sharded_scorer_template_overflow_goes_legacy(mesh8, rnd_graph):
+    """On an accelerator mesh a rebuild that outgrows the shape template
+    must permanently exit to the legacy CPU path (never trace a fresh
+    mesh program mid-phase-1) and keep returning correct scores."""
+    from gnn_mwvc_tpu.core import CoreSolver
+    from gnn_mwvc_tpu.solver.pipeline import GnnScorer
+    from gnn_mwvc_tpu.solver.sharded_score import ShardedGnnScorer
+
+    g = rnd_graph(3000, 12, seed=9, wmax=500)
+    ws = float(g.weights.max())
+    core = CoreSolver(g.weights, g.edge_array())
+    core.reduce()
+    sh = ShardedGnnScorer(mesh=mesh8)
+    ids, prob, _w, _d = sh.score_core(core, ws)
+    # pretend the mesh is an accelerator mesh (relay rules apply) and
+    # force a template that nothing fits into
+    sh._accel = True
+    sh.warm_overlap = False
+    import dataclasses
+
+    sh._tmpl = dataclasses.replace(sh._tmpl, h_max=8)
+    # drop enough confident nodes to keep the kernel alive, then force a
+    # rebuild through the (unfittable) template
+    pick = np.argsort(prob)[-50:]
+    for u in ids[pick]:
+        if core.is_active(int(u)):
+            core.select_node(int(u))
+    assert sh._rebuild(core) is None
+    assert sh._dead and sh.stats.get("template_overflow") is True
+    # scoring still works, via the legacy CPU scorer, and matches it
+    ids2, prob2, _w2, _d2 = sh.score_core(core, ws)
+    legacy = GnnScorer(tpu_min_edges=1 << 62)
+    snap = core.snapshot()
+    order = np.argsort(ids2)
+    np.testing.assert_array_equal(ids2[order], snap.ids)
+    np.testing.assert_allclose(prob2[order], legacy(snap, ws), atol=2e-5)
