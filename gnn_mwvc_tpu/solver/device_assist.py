@@ -47,7 +47,7 @@ import numpy as np
 __all__ = ["DeviceAssist"]
 
 
-def _worker_main(jobs, results, device_kind, batch, width):
+def _worker_main(jobs, results, device_kind, batch, width, role="device"):
     """Child process: exact-solve region batches on the requested backend.
 
     Outage policy (round 4 — VERDICT r3 weak #2): the FIRST device call of
@@ -80,19 +80,28 @@ def _worker_main(jobs, results, device_kind, batch, width):
     # backend — the parent process's jax.config CPU forcing (conftest) does
     # not cross the process boundary, and a bare spawn would otherwise
     # initialize the real accelerator.
-    if device_kind == "cpu" or os.environ.get("GNN_MWVC_ASSIST_TEST_CPU"):
+    # role="cpu": the dedicated CPU-helper process (round 5).  The round-4
+    # in-process CPU fallback starved in production when the device warm
+    # wedged inside a GIL/compile-lock-holding relay call (r5 rmax A/B:
+    # 300 s with one dispatched batch and batches_cpu == 0) — a separate
+    # process that NEVER touches the accelerator cannot be starved by it.
+    if (role == "cpu" or device_kind == "cpu"
+            or os.environ.get("GNN_MWVC_ASSIST_TEST_CPU")):
         jax.config.update("jax_platforms", "cpu")
 
     from gnn_mwvc_tpu.ops.smallsolve import batched_small_mwvc
     from gnn_mwvc_tpu.solver.pipeline import pick_devices
 
     cpu, tpu = pick_devices()
-    dev = tpu if (device_kind == "tpu" and tpu is not None) else cpu
+    dev = (tpu if (role == "device" and device_kind == "tpu"
+                   and tpu is not None) else cpu)
     on_accel = dev is not None and dev.platform != "cpu"
-    # test hook: simulate a slow one-time device program load on the CPU
-    # backend so the pre-warm CPU-fallback path is exercised in CI
+    # test hooks: simulate a slow one-time device program load / a
+    # post-warm per-batch stall (relay execution collapse) in CI
     fake_warm_s = float(os.environ.get("GNN_MWVC_ASSIST_FAKE_WARM", "0"))
-    results.put(("hello", dev.platform if dev is not None else "cpu"))
+    fake_stall_s = float(os.environ.get("GNN_MWVC_ASSIST_FAKE_STALL", "0"))
+    if role == "device":
+        results.put(("hello", dev.platform if dev is not None else "cpu"))
 
     def cpu_solve(adj, w):
         if adj.shape[1] == 16:
@@ -107,7 +116,9 @@ def _worker_main(jobs, results, device_kind, batch, width):
         return pallas_small_mwvc(adj, w, interpret=True)
 
     warm = {"state": "hot"}  # CPU backend needs no warm
-    if fake_warm_s > 0 and not on_accel:
+    if role == "cpu":
+        device_solve = cpu_solve  # helper: pure CPU, no warm protocol
+    elif fake_warm_s > 0 and not on_accel:
         warm["state"] = "loading"
 
         def _fake_warm():
@@ -158,7 +169,7 @@ def _worker_main(jobs, results, device_kind, batch, width):
         job = jobs.get()
         if job is None:
             return
-        adj, w = job
+        seq, adj, w = job
         try:
             t0 = time.perf_counter()
             # the device path is only valid at the warmed (batch, width)
@@ -177,13 +188,15 @@ def _worker_main(jobs, results, device_kind, batch, width):
                     time.sleep(0.1)
                 use_device = (warm["state"] == "hot"
                               and adj.shape[1] == width)
+            if use_device and fake_stall_s > 0:
+                time.sleep(fake_stall_s)  # test hook: relay exec collapse
             if use_device:
                 bc, bs = device_solve(adj, w)
                 path = "device"
             else:
                 bc, bs = cpu_solve(adj, w)
                 path = "cpu"
-            results.put(("res", np.asarray(bc), np.asarray(bs),
+            results.put(("res", seq, np.asarray(bc), np.asarray(bs),
                          time.perf_counter() - t0, path))
         except Exception as exc:  # surfaced on the next tick
             results.put(("err", repr(exc)))
@@ -191,8 +204,8 @@ def _worker_main(jobs, results, device_kind, batch, width):
 
 class DeviceAssist:
     def __init__(self, prob: np.ndarray, device=None, batch: int = 1024,
-                 rmax: int = 14, seed: int = 1, misfit_frac: float = 0.75,
-                 pool_mult: int = 16):
+                 rmax: int = 20, seed: int = 1, misfit_frac: float = 0.75,
+                 pool_mult: int = 16, device_batch_timeout_s: float = 30.0):
         """prob: model scores aligned with the LS vertex ids (kernel rows;
         0.5 = neutral).  batch: regions per device call (one program
         shape).  misfit_frac: fraction of centers sampled by misfit; the
@@ -200,7 +213,17 @@ class DeviceAssist:
         centers are sampled pool_mult*batch at a time and consumed
         batch-by-batch — the O(n) misfit sampling per dispatch was measured
         at ~86 ms on a 721k-node kernel, which halved the host search's
-        step rate when paid every batch (round-3 A/B)."""
+        step rate when paid every batch (round-3 A/B).
+
+        rmax default 20 (round 5): the pallas 2^20 meet-in-the-middle
+        kernel won both clean equal-budget pairings vs rmax 14 on road900
+        kernels (-13,365 r5, -10,639 r3c; the only other r5 pairing had a
+        wedged-warm arm and is not comparable).
+
+        device_batch_timeout_s: post-warm watchdog — a device batch stuck
+        past this (relay execution collapse) is abandoned, new batches
+        route to the dedicated CPU-helper process, and the first late
+        reply from the device worker re-enables it."""
         self.prob = np.asarray(prob, np.float32)
         self.batch = int(batch)
         self.rmax = int(rmax)
@@ -223,22 +246,43 @@ class DeviceAssist:
         ctx = mp.get_context("spawn")
         self._jobs = ctx.Queue(maxsize=2)
         self._results = ctx.Queue()
-        self._pending = None  # (ids (B,W), k (B,)) of the in-flight job
+        self._pending = None  # {"ids", "ks", "seq", "t0", "watch"}
+        self._seq = 0
+        self._stale = set()  # abandoned device seqs (watchdog)
+        self.device_batch_timeout_s = float(device_batch_timeout_s)
         self.stats = {"batches": 0, "regions": 0, "patches": 0,
                       "gain": 0, "t_device_s": 0.0, "t_host_s": 0.0,
                       "commits": 0, "batches_cpu": 0, "batches_device": 0}
         # Until the worker's device program is live, width-20 extraction is
-        # clamped to 16 so the CPU fallback (enumeration kernel) can serve
+        # clamped to 16 so the CPU helper (enumeration kernel) can serve
         # the batches; the worker's "warmed" notice lifts the clamp without
         # minting a second device shape (the warm dummy already used the
         # production (batch, width) shape).
         self._worker_hot = kind == "cpu"
         width = 16 if self.rmax <= 16 else 20
+        self._width = width
         self._worker = ctx.Process(
             target=_worker_main,
             args=(self._jobs, self._results, kind, self.batch, width),
             daemon=True, name="device-assist")
         self._worker.start()
+        # Dedicated CPU-helper process (round 5): serves every batch the
+        # device worker can't take — pre-warm, width-clamped, or
+        # watchdog-disabled.  A separate process that never touches the
+        # accelerator cannot be starved by a wedged relay call inside the
+        # device worker (the r5 rmax A/B recorded a 300 s arm with ZERO
+        # batches because the in-process fallback shared the device
+        # worker's compile lock).
+        self._helper_jobs = None
+        self._helper = None
+        if kind != "cpu":
+            self._helper_jobs = ctx.Queue(maxsize=2)
+            self._helper = ctx.Process(
+                target=_worker_main,
+                args=(self._helper_jobs, self._results, "cpu", self.batch,
+                      16, "cpu"),
+                daemon=True, name="device-assist-cpu")
+            self._helper.start()
 
     # -- caller thread -----------------------------------------------------
     def _refill_pool(self, ls):
@@ -311,28 +355,70 @@ class DeviceAssist:
             raise RuntimeError(f"device-assist worker failed: {msg[1]}")
         return False
 
+    def _drop_stale(self, res) -> bool:
+        """True if res is a late reply to a watchdog-abandoned batch; the
+        reply itself is proof of life, so the device path re-enables."""
+        if res[0] == "res" and res[1] in self._stale:
+            self._stale.discard(res[1])
+            if not self._worker_hot:
+                self._worker_hot = True
+                self.stats["device_reenabled"] = (
+                    self.stats.get("device_reenabled", 0) + 1)
+            return True
+        return False
+
     def tick(self, ls) -> int:
         """Poll/advance the assist pipeline; returns patches applied now.
 
         Never blocks: if the device batch (or its one-time program load)
-        is still in flight the caller goes straight back to searching —
-        and since round 4 the worker itself never blocks on the load
-        either (CPU fallback batches, see _worker_main).
+        is still in flight the caller goes straight back to searching.
+        Batches the device worker can't take — pre-warm, width-clamped,
+        or watchdog-disabled — go to the dedicated CPU-helper process,
+        so assist throughput never depends on the relay being alive.
         """
         t0 = time.perf_counter()
         applied = 0
+        res = None
         if self._pending is not None:
             while True:
                 try:
                     res = self._results.get_nowait()
                 except queue.Empty:
+                    res = None
+                    p = self._pending
+                    if (p["watch"] and time.perf_counter() - p["t0"]
+                            > self.device_batch_timeout_s):
+                        # post-warm watchdog: the device batch is stuck
+                        # (relay execution collapse) — abandon it and
+                        # route new batches to the CPU helper
+                        self._stale.add(p["seq"])
+                        self._pending = None
+                        self._worker_hot = False
+                        self.stats["batches_abandoned"] = (
+                            self.stats.get("batches_abandoned", 0) + 1)
+                        break
                     self.stats["t_host_s"] += time.perf_counter() - t0
                     return 0
-                if not self._handle_control(res):
+                if self._handle_control(res) or self._drop_stale(res):
+                    res = None
+                    continue
+                break
+        else:
+            # no batch in flight: still drain control notices ("hello",
+            # "warmed") and stale replies so state stays current
+            while True:
+                try:
+                    msg = self._results.get_nowait()
+                except queue.Empty:
                     break
-            ids, ks = self._pending
+                if not self._handle_control(msg):
+                    self._drop_stale(msg)
+
+        if res is not None:
+            p = self._pending
             self._pending = None
-            _tag, bc, bs, t_dev, path = res
+            ids, ks = p["ids"], p["ks"]
+            _tag, _seq, bc, bs, t_dev, path = res
             self.stats["t_device_s"] += t_dev
             self.stats["batches_" + path] += 1
             cost_before = ls.cost
@@ -349,48 +435,56 @@ class DeviceAssist:
             self.stats["patches"] += applied
             self.stats["batches"] += 1
 
-        else:
-            # no batch in flight: still drain control notices ("hello",
-            # "warmed") so the rmax clamp lifts as soon as the warm lands
-            while True:
-                try:
-                    msg = self._results.get_nowait()
-                except queue.Empty:
-                    break
-                self._handle_control(msg)
-
-        # dispatch the next batch (clamped to width 16 until the device
-        # program is live — the CPU fallback path can't solve width 20)
-        rmax = self.rmax if self._worker_hot else min(self.rmax, 16)
-        centers = self._sample_centers(ls)
-        if len(centers):
-            ids, adj, w, ks = ls.extract_regions(centers, rmax=rmax)
-            if len(centers) < self.batch:  # keep one program shape
-                pad = self.batch - len(centers)
-                adj = np.pad(adj, ((0, pad), (0, 0)))
-                w = np.pad(w, ((0, pad), (0, 0)))
-                ids = np.pad(ids, ((0, pad), (0, 0)))
-                ks = np.pad(ks, (0, pad))
-            self.stats["regions"] += int((ks > 0).sum())
-            self._pending = (ids, ks)
-            self._jobs.put((adj, w))
+        if self._pending is None:
+            # dispatch the next batch (clamped to width 16 whenever the
+            # device worker can't take it — the helper solves width 16)
+            rmax = self.rmax if self._worker_hot else min(self.rmax, 16)
+            centers = self._sample_centers(ls)
+            if len(centers):
+                ids, adj, w, ks = ls.extract_regions(centers, rmax=rmax)
+                if len(centers) < self.batch:  # keep one program shape
+                    pad = self.batch - len(centers)
+                    adj = np.pad(adj, ((0, pad), (0, 0)))
+                    w = np.pad(w, ((0, pad), (0, 0)))
+                    ids = np.pad(ids, ((0, pad), (0, 0)))
+                    ks = np.pad(ks, (0, pad))
+                self.stats["regions"] += int((ks > 0).sum())
+                self._seq += 1
+                to_device = (self._helper_jobs is None
+                             or (self._worker_hot
+                                 and adj.shape[1] == self._width))
+                self._pending = {
+                    "ids": ids, "ks": ks, "seq": self._seq,
+                    "t0": time.perf_counter(),
+                    "watch": to_device and self._helper_jobs is not None,
+                }
+                q = self._jobs if to_device else self._helper_jobs
+                q.put((self._seq, adj, w))
         self.stats["t_host_s"] += time.perf_counter() - t0
         return applied
 
     def stop(self, timeout: float = 3.0):
-        """Shutdown: ask the worker to drain; terminate it if its one-time
+        """Shutdown: ask the workers to drain; terminate any whose one-time
         program compile is still in flight (short runs) — a clean SIGTERM
         on a separate process, nothing to unwind in the solver."""
-        try:
-            self._jobs.put_nowait(None)
-        except queue.Full:
-            pass
-        self._worker.join(timeout)
-        if self._worker.is_alive():
-            self._worker.terminate()
-            self._worker.join(2.0)
+        workers = [(self._worker, self._jobs)]
+        if self._helper is not None:
+            workers.append((self._helper, self._helper_jobs))
+        for w, q in workers:
+            try:
+                q.put_nowait(None)
+            except queue.Full:
+                pass
+        for w, _q in workers:
+            w.join(timeout)
+            if w.is_alive():
+                w.terminate()
+                w.join(2.0)
         # never let unflushed queue buffers block interpreter exit
-        for q in (self._jobs, self._results):
+        qs = [self._jobs, self._results]
+        if self._helper_jobs is not None:
+            qs.append(self._helper_jobs)
+        for q in qs:
             try:
                 q.cancel_join_thread()
                 q.close()

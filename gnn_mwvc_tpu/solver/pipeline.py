@@ -246,7 +246,7 @@ def solve(
     ls_seed: int = 1,
     device_assist="auto",
     assist_batch: int = 1024,
-    assist_rmax: int = 14,
+    assist_rmax: int = 20,
 ) -> SolveResult:
     """Phase-2 diversification (beyond the reference's plain search):
 

@@ -119,7 +119,7 @@ def test_device_assist_worker_round_trip():
     s0 = np.ones(g.n, np.uint8)  # all-in cover: plenty to improve
     ls = CoreLocalSearch(g.weights, g.edge_array(), s0)
     assist = DeviceAssist(np.full(g.n, 0.5, np.float32), device="cpu",
-                          batch=32)
+                          batch=32, rmax=14)
     try:
         deadline = time.time() + 180  # spawn + jax import + CPU compile
         while assist.stats["batches"] == 0 and time.time() < deadline:
@@ -203,7 +203,7 @@ def test_worker_outage_fallback_cpu_batches(monkeypatch):
     s0 = np.ones(g.n, np.uint8)
     ls = CoreLocalSearch(g.weights, g.edge_array(), s0)
     assist = DeviceAssist(np.full(g.n, 0.5, np.float32), device="tpu",
-                          batch=32)
+                          batch=32, rmax=14)
     try:
         deadline = time.time() + 180
         while assist.stats["batches_cpu"] == 0 and time.time() < deadline:
@@ -256,16 +256,16 @@ def test_worker_width_race_routes_to_cpu(monkeypatch):
                 raise AssertionError(msg[1])
 
     # pre-warm width-16 job: CPU path by definition
-    jobs.put((np.zeros((8, 16), np.int32), np.zeros((8, 16), np.int32)))
-    assert next_res()[4] == "cpu"
+    jobs.put((1, np.zeros((8, 16), np.int32), np.zeros((8, 16), np.int32)))
+    assert next_res()[5] == "cpu"
     time.sleep(1.2)  # fake warm (0.8 s) lands; worker is now hot
     # the RACE: a width-16 job arrives while the worker is hot at width 20
     # -> must still route to the CPU kernel (width != warmed shape)
-    jobs.put((np.zeros((8, 16), np.int32), np.zeros((8, 16), np.int32)))
-    assert next_res()[4] == "cpu"
+    jobs.put((2, np.zeros((8, 16), np.int32), np.zeros((8, 16), np.int32)))
+    assert next_res()[5] == "cpu"
     # a width-20 job takes the (fake-)device path at the warmed shape
-    jobs.put((np.zeros((8, 20), np.int32), np.zeros((8, 20), np.int32)))
-    assert next_res()[4] == "device"
+    jobs.put((3, np.zeros((8, 20), np.int32), np.zeros((8, 20), np.int32)))
+    assert next_res()[5] == "device"
     jobs.put(None)
     th.join(30)
     assert not th.is_alive()
@@ -295,5 +295,47 @@ def test_worker_rmax_clamped_when_accelerator_absent(monkeypatch):
         assert assist.rmax == 16
         assert assist.stats.get("rmax_clamped") is True
         assert assist.stats["worker_platform"] == "cpu"
+    finally:
+        assist.stop()
+
+
+def test_watchdog_abandons_stuck_device_batch(monkeypatch):
+    """Post-warm relay collapse (round 5): a device batch stuck past
+    device_batch_timeout_s is abandoned, new batches keep flowing through
+    the dedicated CPU-helper process, and the eventual stale reply
+    re-enables the device path (proof of life)."""
+    import time
+
+    from gnn_mwvc_tpu.solver.device_assist import DeviceAssist
+
+    monkeypatch.setenv("GNN_MWVC_ASSIST_TEST_CPU", "1")
+    monkeypatch.setenv("GNN_MWVC_ASSIST_FAKE_WARM", "0.5")
+    monkeypatch.setenv("GNN_MWVC_ASSIST_FAKE_STALL", "6.0")
+    g = random_graph(800, 8, seed=7, wmax=100)
+    s0 = np.ones(g.n, np.uint8)
+    ls = CoreLocalSearch(g.weights, g.edge_array(), s0)
+    assist = DeviceAssist(np.full(g.n, 0.5, np.float32), device="tpu",
+                          batch=32, rmax=14, device_batch_timeout_s=2.0)
+    try:
+        deadline = time.time() + 240
+        while (assist.stats.get("batches_abandoned", 0) == 0
+               and time.time() < deadline):
+            assist.tick(ls)
+            time.sleep(0.1)
+        assert assist.stats["batches_abandoned"] >= 1
+        assert not assist._worker_hot  # device disabled while stalled
+        # the CPU helper keeps the assist flowing regardless
+        deadline = time.time() + 120
+        while assist.stats["batches_cpu"] == 0 and time.time() < deadline:
+            assist.tick(ls)
+            time.sleep(0.1)
+        assert assist.stats["batches_cpu"] >= 1
+        # the stale reply re-enables the device path
+        deadline = time.time() + 120
+        while (assist.stats.get("device_reenabled", 0) == 0
+               and time.time() < deadline):
+            assist.tick(ls)
+            time.sleep(0.1)
+        assert assist.stats["device_reenabled"] >= 1
     finally:
         assist.stop()
