@@ -212,6 +212,14 @@ class ShardedGnnScorer(RelayPolicyMixin):
                 row_sl = slots[np.repeat(
                     np.arange(len(snap.ids), dtype=np.int64), deg)]
                 col_sl = slots[snap.indices]
+                # partition_device_graph requires dst-sorted COO (its
+                # scatter path aggregates with indices_are_sorted=True);
+                # the slot permutation is not monotone in snapshot row
+                # order, so re-sort — stable, keeping each row's CSR
+                # source order (bitwise-identical summation order)
+                order = np.argsort(row_sl, kind="stable")
+                row_sl = row_sl[order]
+                col_sl = col_sl[order]
                 w_s = np.zeros(n_slots, np.float32)
                 w_s[slots] = snap.weights
                 d_s = np.zeros(n_slots, np.float32)

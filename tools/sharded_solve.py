@@ -48,7 +48,13 @@ def main(argv=None):
     print(f"{args.instance}: n={g.n} m={len(g.indices)//2}", flush=True)
 
     mesh = make_mesh(args.parts)
-    sh = ShardedGnnScorer(mesh=mesh)
+    # exact-parity mode: rebuild whenever ANY fold gadget exists, so no
+    # round ever scores with the gadget-neutrality approximation (which
+    # the single-device per-snapshot scorer doesn't share — production
+    # uses rebuild_gadget_frac=0.02 + neutral gadgets, like the
+    # single-chip sticky scorer).  Rebuilds are shape-templated, so this
+    # trades host prep, not compiles.
+    sh = ShardedGnnScorer(mesh=mesh, rebuild_gadget_frac=0.0)
     t0 = time.perf_counter()
     res_s = solve(g, time_limit=0.0, reorder=True, scorer=sh,
                   device_assist=False)
