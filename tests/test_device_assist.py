@@ -287,8 +287,13 @@ def test_worker_rmax_clamped_when_accelerator_absent(monkeypatch):
     assist = DeviceAssist(np.full(g.n, 0.5, np.float32), device="tpu",
                           batch=32, rmax=20)
     try:
+        # the CPU helper can serve the first batch before the DEVICE
+        # worker's "hello" arrives (round-5 dual-worker design), so wait
+        # for both the batch and the hello before asserting the clamp
         deadline = time.time() + 180
-        while assist.stats["batches"] == 0 and time.time() < deadline:
+        while ((assist.stats["batches"] == 0
+                or "worker_platform" not in assist.stats)
+               and time.time() < deadline):
             assist.tick(ls)
             time.sleep(0.1)
         assert assist.stats["batches"] >= 1
