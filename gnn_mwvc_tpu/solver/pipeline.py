@@ -364,8 +364,12 @@ def solve(
 
         def _score_kernel():
             try:
+                # native=True: the threaded C++ forward — these scores
+                # only bias kicks/centers, and the jax-CPU path's
+                # build+compile would fight the search for both host cores
                 cpu_scorer = GnnScorer(
-                    getattr(scorer, "model", None), tpu_min_edges=1 << 62)
+                    getattr(scorer, "model", None), tpu_min_edges=1 << 62,
+                    native=True)
                 holder["prob"] = cpu_scorer(snap, weight_scale).astype(
                     np.float32)
             except Exception as exc:
